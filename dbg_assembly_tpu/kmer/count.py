@@ -1,0 +1,178 @@
+"""K-mer counting engine — the kmerfreq replacement and benchmark workhorse.
+
+TPU-first design (SURVEY.md section 7 step 2): instead of the reference's
+CAS-based shared hash (DBG_contig/DBGgraph.cpp:167-205), counting is a
+bulk-synchronous sort + segment-reduce:
+
+  1. chop: rolling canonical k-mer extraction over a [N, L] code batch
+     (dna.rolling_kmers — k fused vector ops, no scalar loop),
+  2. mask invalid window positions to a sentinel (all-ones uint64),
+  3. sort the flat k-mer vector (XLA radix sort on TPU),
+  4. run-length encode: species boundaries via x[i] != x[i-1],
+     counts via index subtraction.
+
+Multi-chip: reads are sharded over the batch dim; each device extracts and
+locally sorts, then k-mers are routed to their owner shard by leading bits
+with all_to_all and merged (see parallel/alltoall.py).
+
+The k-mer spectrum stat file and the .cz 1-bit table reproduce the external
+kmerfreq tool's outputs as specified by their consumers
+(correct_error/main.cpp:161-220, main_parallel_senior.cpp:334-408).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import dna
+
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def chop_canonical(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int):
+    """[N, L] codes + [N] lengths -> flat sorted canonical k-mers with
+    invalid positions pushed to the sentinel end.
+
+    Returns (sorted_kmers [N*P], n_valid scalar).
+    """
+    N, L = codes.shape
+    P = L - ksize + 1
+    kmers = dna.rolling_kmers(codes, ksize)                # [N, P]
+    can, _ = dna.canonical(kmers, ksize)
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = pos < (lengths[:, None] - ksize + 1)
+    can = jnp.where(valid, can, SENTINEL)
+    flat = can.reshape(-1)
+    flat = jnp.sort(flat)
+    n_valid = jnp.sum(valid.astype(jnp.int64))
+    return flat, n_valid
+
+
+@jax.jit
+def run_length(sorted_kmers: jnp.ndarray):
+    """Run-length encode a sorted vector.
+
+    Returns (unique [M_padded], counts [M_padded], n_unique) where entries
+    beyond n_unique hold SENTINEL/0.  M_padded == len(sorted_kmers): XLA needs
+    static shapes, so uniques are compacted to the front via argsort of the
+    boundary mask (stable), not dynamically sized.
+    """
+    x = sorted_kmers
+    n = x.shape[0]
+    first = jnp.concatenate([jnp.ones((1,), bool), x[1:] != x[:-1]])
+    first = first & (x != SENTINEL)
+    idx = jnp.arange(n, dtype=jnp.int64)
+    # start index of each run, compacted to front (stable sort of ~first)
+    order = jnp.argsort(~first, stable=True)
+    starts = idx[order]                      # first n_unique entries are run starts
+    n_unique = jnp.sum(first.astype(jnp.int64))
+    uniq = x[starts]
+    # end of run r = start of run r+1 (or first sentinel/total length)
+    n_total = jnp.sum((x != SENTINEL).astype(jnp.int64))
+    next_starts = jnp.concatenate([starts[1:], jnp.array([n], jnp.int64)])
+    ends = jnp.where(jnp.arange(n) == n_unique - 1, n_total, next_starts)
+    counts = jnp.where(jnp.arange(n) < n_unique, ends - starts, 0)
+    uniq = jnp.where(jnp.arange(n) < n_unique, uniq, SENTINEL)
+    return uniq, counts, n_unique
+
+
+def count_batch(codes: np.ndarray, lengths: np.ndarray, ksize: int):
+    """Count canonical k-mers of one batch on the default device.
+
+    Returns (unique_sorted np.uint64 [M], counts np.int64 [M], total_kmers).
+    """
+    flat, n_valid = chop_canonical(jnp.asarray(codes), jnp.asarray(lengths),
+                                   ksize)
+    uniq, counts, n_unique = run_length(flat)
+    n_unique = int(n_unique)
+    return (np.asarray(uniq[:n_unique]), np.asarray(counts[:n_unique]),
+            int(n_valid))
+
+
+def merge_counted(parts: list[tuple[np.ndarray, np.ndarray]]):
+    """Merge per-batch (unique, counts) runs on host (streaming reduction)."""
+    if len(parts) == 1:
+        return parts
+    ks = np.concatenate([p[0] for p in parts])
+    cs = np.concatenate([p[1] for p in parts])
+    order = np.argsort(ks, kind="stable")
+    ks, cs = ks[order], cs[order]
+    first = np.ones(len(ks), bool)
+    first[1:] = ks[1:] != ks[:-1]
+    uniq = ks[first]
+    csum = np.add.reduceat(cs, np.flatnonzero(first))
+    return [(uniq, csum)]
+
+
+class KmerCounter:
+    """Streaming canonical k-mer counter over read batches."""
+
+    def __init__(self, ksize: int, batch_reads: int = 200_000):
+        self.ksize = ksize
+        self.batch_reads = batch_reads
+        self.parts: list[tuple[np.ndarray, np.ndarray]] = []
+        self.total_kmers = 0
+
+    def add(self, codes: np.ndarray, lengths: np.ndarray) -> None:
+        for off in range(0, len(codes), self.batch_reads):
+            u, c, t = count_batch(codes[off:off + self.batch_reads],
+                                  lengths[off:off + self.batch_reads],
+                                  self.ksize)
+            self.parts.append((u, c))
+            self.total_kmers += t
+            if len(self.parts) >= 8:
+                self.parts = merge_counted(self.parts)
+
+    def finalize(self):
+        """Returns (unique_sorted, counts, total_kmers)."""
+        if not self.parts:
+            return (np.zeros(0, np.uint64), np.zeros(0, np.int64), 0)
+        self.parts = merge_counted(self.parts)
+        u, c = self.parts[0]
+        return u, c, self.total_kmers
+
+
+def spectrum(counts: np.ndarray, max_freq: int = 65535) -> np.ndarray:
+    """Histogram of species counts, saturated at max_freq (kmerfreq caps its
+    16-bit counters at 65535 — clean_reads.lib.kmer.freq.stat:2)."""
+    capped = np.minimum(counts, max_freq)
+    return np.bincount(capped.astype(np.int64), minlength=max_freq + 1)
+
+
+def freq_bitmap(unique: np.ndarray, counts: np.ndarray, ksize: int,
+                low_freq_cutoff: int = 1) -> np.ndarray:
+    """Dense 1-bit-per-kmer high-frequency bitmap over all 4^k indices.
+
+    Bit set at the CANONICAL index iff count > low_freq_cutoff, matching what
+    kmerfreq's 1-bit .cz stores before consumers OR in reverse complements
+    (main_parallel_senior.cpp:310-329; strict '>' per main.cpp:202).
+    """
+    total = 1 << (2 * ksize)
+    bitmap = np.zeros(total // 8, dtype=np.uint8)
+    hi = unique[counts > low_freq_cutoff].astype(np.uint64)
+    np.bitwise_or.at(bitmap, (hi // 8).astype(np.int64),
+                     (np.uint8(1) << (7 - (hi % 8)).astype(np.uint8)))
+    return bitmap
+
+
+def expand_bitmap_rc(bitmap: np.ndarray, ksize: int) -> np.ndarray:
+    """OR reverse-complement bits into the bitmap (consumer-side step,
+    main_parallel_senior.cpp:310-329). Returns a new bitmap."""
+    idx = np.flatnonzero(np.unpackbits(bitmap)).astype(np.uint64)
+    rc = dna.revcomp_kbit(idx, ksize)
+    out = bitmap.copy()
+    np.bitwise_or.at(out, (rc // 8).astype(np.int64),
+                     (np.uint8(1) << (7 - (rc % 8)).astype(np.uint8)))
+    return out
+
+
+def bitmap_get(bitmap: np.ndarray, idx) -> np.ndarray:
+    """Query bits (vectorized get_freq, correct_error/seqKmer.cpp:102-106)."""
+    idx = np.asarray(idx, dtype=np.uint64)
+    return (bitmap[(idx // 8).astype(np.int64)] >>
+            (7 - (idx % 8)).astype(np.uint8)) & 1
