@@ -1,0 +1,270 @@
+// Native runtime helpers for dbg_assembly_tpu (loaded via ctypes).
+//
+// These cover the host-side sequential tails where the TPU bulk path needs
+// the reference's EMERGENT ordering reproduced exactly:
+//
+//  * jenkins64 / find_next_prime — hash sizing/placement rules of the
+//    reference's open-addressing KmerSet (DBG_contig/kmerSet.h:105-116,
+//    kmerSet.cpp:72-95), including the reference's idiosyncratic primality
+//    loop bound (strict '<' against a float sqrt), which must be copied
+//    behaviorally or table sizes diverge.
+//  * hash_layout — linear-probe slot assignment for species inserted in
+//    first-occurrence order (what a single-threaded run of the reference's
+//    CAS insert produces, DBGgraph.cpp:167-205).
+//  * stdsort_perm_desc — the permutation produced by libstdc++ std::sort
+//    with the reference's by-length-descending comparator
+//    (contig.cpp:48-50,1014; link_func.cpp:69-71).  std::sort is unstable;
+//    comparison-based introsort yields a deterministic, type-independent
+//    permutation, so sorting (len, idx) pairs here reproduces the exact
+//    tie order of the reference's struct sorts.
+//
+// Build: make -C native   (g++ -O2 -shared -fPIC)
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+uint64_t jenkins64(uint64_t kmer) {
+    kmer += ~(kmer << 32);
+    kmer ^= (kmer >> 22);
+    kmer += ~(kmer << 13);
+    kmer ^= (kmer >> 8);
+    kmer += (kmer << 3);
+    kmer ^= (kmer >> 15);
+    kmer += ~(kmer << 27);
+    kmer ^= (kmer >> 31);
+    return kmer;
+}
+
+static int is_prime_ref(uint64_t num) {
+    // behavioral parity with kmerSet.cpp:72-82 (strict '<' bound, float sqrt)
+    uint64_t i, max;
+    if (num < 4) return 1;
+    if (num % 2 == 0) return 0;
+    max = (uint64_t)sqrt((float)num);
+    for (i = 3; i < max; i += 2) {
+        if (num % i == 0) return 0;
+    }
+    return 1;
+}
+
+uint64_t find_next_prime(uint64_t num) {
+    if (num % 2 == 0) num++;
+    while (1) {
+        if (is_prime_ref(num)) return num;
+        num += 2;
+    }
+}
+
+// Assign hash slots by linear probing for keys given in insertion order.
+// slots_out[i] = slot of kmers[i].  Occupancy via a byte map.
+// Returns the number of probe conflicts (parity: kset->count_conflict).
+int64_t hash_layout(const uint64_t* kmers, int64_t n, uint64_t size,
+                    uint8_t* occupied /* size bytes, zeroed by caller */,
+                    int64_t* slots_out) {
+    int64_t conflicts = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t hc = jenkins64(kmers[i]) % size;
+        while (occupied[hc]) {
+            conflicts++;
+            hc = (hc + 1 == size) ? 0 : hc + 1;
+        }
+        occupied[hc] = 1;
+        slots_out[i] = (int64_t)hc;
+    }
+    return conflicts;
+}
+
+// Permutation of indices under libstdc++ std::sort with comparator
+// cmp(a,b) = lens[b] < lens[a]  (i.e. descending by length, unstable).
+struct LenIdx {
+    uint64_t len;
+    int64_t idx;
+};
+
+void stdsort_perm_desc(const uint64_t* lens, int64_t n, int64_t* idx_out) {
+    LenIdx* v = new LenIdx[n];
+    for (int64_t i = 0; i < n; i++) {
+        v[i].len = lens[i];
+        v[i].idx = i;
+    }
+    std::sort(v, v + n, [](const LenIdx& a, const LenIdx& b) {
+        return b.len < a.len;
+    });
+    for (int64_t i = 0; i < n; i++) idx_out[i] = v[i].idx;
+    delete[] v;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GCC 4.4-era std::sort permutation.  The shipped reference binaries were
+// built with GCC 4.4.7 (strings: "GCC: (GNU) 4.4.7"); libstdc++'s introsort
+// pivot selection changed in 4.7 (__unguarded_partition_pivot), so a modern
+// std::sort produces a different TIE order.  This reimplements the 4.4
+// algorithm structure (threshold-16 introsort + final insertion sort +
+// heapsort fallback) so equal-length records land in the same order the
+// reference emits them.  Comparator: cmp(a,b) = b.len < a.len (descending).
+// ---------------------------------------------------------------------------
+
+namespace gcc44 {
+
+struct El {
+    uint64_t len;
+    int64_t idx;
+};
+
+static inline bool cmp(const El& a, const El& b) { return b.len < a.len; }
+
+static const int64_t S_threshold = 16;
+
+static El median(const El& a, const El& b, const El& c) {
+    if (cmp(a, b)) {
+        if (cmp(b, c)) return b;
+        else if (cmp(a, c)) return c;
+        else return a;
+    } else if (cmp(a, c)) return c;
+    else if (cmp(b, c)) return b;
+    else return a;
+}
+
+static int64_t unguarded_partition(El* v, int64_t first, int64_t last,
+                                   El pivot) {
+    while (true) {
+        while (cmp(v[first], pivot)) ++first;
+        --last;
+        while (cmp(pivot, v[last])) --last;
+        if (!(first < last)) return first;
+        El t = v[first];
+        v[first] = v[last];
+        v[last] = t;
+        ++first;
+    }
+}
+
+static void unguarded_linear_insert(El* v, int64_t last, El val) {
+    int64_t next = last - 1;
+    while (cmp(val, v[next])) {
+        v[last] = v[next];
+        last = next;
+        --next;
+    }
+    v[last] = val;
+}
+
+static void insertion_sort(El* v, int64_t first, int64_t last) {
+    if (first == last) return;
+    for (int64_t i = first + 1; i != last; ++i) {
+        if (cmp(v[i], v[first])) {
+            El val = v[i];
+            for (int64_t j = i; j > first; --j) v[j] = v[j - 1];
+            v[first] = val;
+        } else {
+            unguarded_linear_insert(v, i, v[i]);
+        }
+    }
+}
+
+static void unguarded_insertion_sort(El* v, int64_t first, int64_t last) {
+    for (int64_t i = first; i != last; ++i)
+        unguarded_linear_insert(v, i, v[i]);
+}
+
+static void adjust_heap(El* v, int64_t first, int64_t hole, int64_t len,
+                        El val) {
+    // 4.4-era __adjust_heap + __push_heap
+    int64_t top = hole;
+    int64_t second = 2 * hole + 2;
+    while (second < len) {
+        if (cmp(v[first + second], v[first + (second - 1)])) second--;
+        v[first + hole] = v[first + second];
+        hole = second;
+        second = 2 * (second + 1);
+    }
+    if (second == len) {
+        v[first + hole] = v[first + (second - 1)];
+        hole = second - 1;
+    }
+    int64_t parent = (hole - 1) / 2;
+    while (hole > top && cmp(v[first + parent], val)) {
+        v[first + hole] = v[first + parent];
+        hole = parent;
+        parent = (hole - 1) / 2;
+    }
+    v[first + hole] = val;
+}
+
+static void make_heap(El* v, int64_t first, int64_t last) {
+    int64_t len = last - first;
+    if (len < 2) return;
+    int64_t parent = (len - 2) / 2;
+    while (true) {
+        El val = v[first + parent];
+        adjust_heap(v, first, parent, len, val);
+        if (parent == 0) return;
+        parent--;
+    }
+}
+
+static void heap_sort(El* v, int64_t first, int64_t last) {
+    make_heap(v, first, last);
+    while (last - first > 1) {
+        --last;
+        El val = v[last];
+        v[last] = v[first];
+        adjust_heap(v, first, 0, last - first, val);
+    }
+}
+
+static int lg(int64_t n) {
+    int k = 0;
+    for (; n != 1; n >>= 1) ++k;
+    return k;
+}
+
+static void introsort_loop(El* v, int64_t first, int64_t last,
+                           int depth_limit) {
+    while (last - first > S_threshold) {
+        if (depth_limit == 0) {
+            heap_sort(v, first, last);  // __partial_sort(first,last,last)
+            return;
+        }
+        --depth_limit;
+        El pivot = median(v[first], v[first + (last - first) / 2],
+                          v[last - 1]);
+        int64_t cut = unguarded_partition(v, first, last, pivot);
+        introsort_loop(v, cut, last, depth_limit);
+        last = cut;
+    }
+}
+
+static void sort(El* v, int64_t n) {
+    if (n == 0) return;
+    introsort_loop(v, 0, n, lg(n) * 2);
+    if (n > S_threshold) {
+        insertion_sort(v, 0, S_threshold);
+        unguarded_insertion_sort(v, S_threshold, n);
+    } else {
+        insertion_sort(v, 0, n);
+    }
+}
+
+}  // namespace gcc44
+
+extern "C" {
+
+void gcc44_sort_perm_desc(const uint64_t* lens, int64_t n, int64_t* idx_out) {
+    gcc44::El* v = new gcc44::El[n];
+    for (int64_t i = 0; i < n; i++) {
+        v[i].len = lens[i];
+        v[i].idx = i;
+    }
+    gcc44::sort(v, n);
+    for (int64_t i = 0; i < n; i++) idx_out[i] = v[i].idx;
+    delete[] v;
+}
+
+}  // extern "C"
