@@ -1,0 +1,145 @@
+"""Benchmark: canonical k-mer counting throughput per chip (k=31).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline = the reference's single-core C++ graph-ingest rate (k-mers/s),
+measured once on this host by running the shipped debruijn_contig with -t 1
+and parsing its log (kmers loaded / CPU-s at end of ingest), cached in
+bench_baseline.json.  BASELINE.md's published figure is ~2.9M k-mers/CPU-s
+on 10 threads; the single-core rate is the agreed denominator
+(BASELINE.json: ">=50x the single-core C++ k-mer-counting throughput").
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+BASELINE_FILE = os.path.join(ROOT, "bench_baseline.json")
+DATA_DIR = os.path.join(ROOT, "tests", "_golden_cache", "bench")
+KSIZE = 31
+READ_LEN = 150
+N_READS_TPU = 1_000_000       # ~150 Mbp -> ~120M k-mers for device timing
+N_READS_REF = 150_000         # subset for the single-core baseline run
+
+
+def ensure_data():
+    os.makedirs(DATA_DIR, exist_ok=True)
+    marker = os.path.join(DATA_DIR, "DONE")
+    if not os.path.exists(marker):
+        from tools.simulate_reads import make_genome, simulate_pe, write_fq_gz
+        genome = make_genome(3_000_000, seed=42)
+        r1, q1, r2, q2 = simulate_pe(genome, READ_LEN, 400, 50.0, seed=43)
+        write_fq_gz(os.path.join(DATA_DIR, "bench_1.fq.gz"), "bench",
+                    r1, q1, 1)
+        write_fq_gz(os.path.join(DATA_DIR, "bench_2.fq.gz"), "bench",
+                    r2, q2, 2)
+        np.save(os.path.join(DATA_DIR, "codes.npy"),
+                np.concatenate([np.searchsorted(
+                    np.frombuffer(b"ACGT", np.uint8), r1),
+                    np.searchsorted(np.frombuffer(b"ACGT", np.uint8), r2)])
+                .astype(np.uint8))
+        open(marker, "w").close()
+    return DATA_DIR
+
+
+def measure_baseline() -> float:
+    """Single-core reference ingest rate (k-mers/s)."""
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["ref_single_core_kmers_per_s"]
+    ensure_data()
+    lib = os.path.join(DATA_DIR, "ref.lib")
+    fq = os.path.join(DATA_DIR, "bench_1.fq.gz")
+    # subset the fastq to N_READS_REF reads
+    import gzip
+    sub = os.path.join(DATA_DIR, "ref_subset.fq.gz")
+    if not os.path.exists(sub):
+        with gzip.open(fq, "rb") as f:
+            lines = []
+            for i, line in enumerate(f):
+                if i >= 4 * N_READS_REF:
+                    break
+                lines.append(line)
+        with gzip.open(sub, "wb") as f:
+            f.writelines(lines)
+    with open(lib, "w") as f:
+        f.write(sub + "\n")
+    log = os.path.join(DATA_DIR, "ref_bench.log")
+    with open(log, "wb") as lf:
+        subprocess.run(
+            ["/root/reference/DBG_contig/debruijn_contig", "-f", "1",
+             "-k", str(KSIZE), "-r", "250", "-t", "1", "-i", "0.01",
+             "-M", "125", "-o", os.path.join(DATA_DIR, "refbench"), lib],
+            stderr=lf, stdout=subprocess.DEVNULL, timeout=3000, check=True)
+    text = open(log).read()
+    kmers = int(re.search(r"Total number of kmers loaded into memory: (\d+)",
+                          text).group(1))
+    # Run time lines: [0] after hash init, [1] after ingest of file 1
+    times = [float(x) for x in re.findall(r"Run time: ([0-9.]+)", text)]
+    ingest_s = times[1] - times[0]
+    rate = kmers / ingest_s
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({"ref_single_core_kmers_per_s": rate,
+                   "kmers": kmers, "ingest_s": ingest_s}, f, indent=1)
+    return rate
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    from dbg_assembly_tpu.kmer import count as kc
+
+    ensure_data()
+    codes = np.load(os.path.join(DATA_DIR, "codes.npy"))
+    reps = max(1, N_READS_TPU // len(codes))
+    codes = np.tile(codes, (reps, 1))[:N_READS_TPU]
+    lengths = np.full(len(codes), READ_LEN, np.int32)
+
+    batch = 250_000
+    P = READ_LEN - KSIZE + 1
+
+    @jax.jit
+    def step(c, l_):
+        flat, n_valid = kc.chop_canonical(c, l_, KSIZE)
+        uniq, counts, n_unique = kc.run_length(flat)
+        return uniq, counts, n_unique, n_valid
+
+    cb = jnp.asarray(codes[:batch])
+    lb = jnp.asarray(lengths[:batch])
+    jax.block_until_ready(step(cb, lb))        # compile + warm
+
+    t0 = time.perf_counter()
+    total = 0
+    for off in range(0, len(codes), batch):
+        if len(codes) - off < batch:
+            break
+        cb = jnp.asarray(codes[off:off + batch])
+        lb = jnp.asarray(lengths[off:off + batch])
+        out = step(cb, lb)
+        jax.block_until_ready(out)
+        total += batch * P
+    dt = time.perf_counter() - t0
+    return total / dt
+
+
+def main():
+    baseline = measure_baseline()
+    rate = measure_tpu()
+    print(json.dumps({
+        "metric": "kmers_counted_per_sec_per_chip",
+        "value": round(rate, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(rate / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

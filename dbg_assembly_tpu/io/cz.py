@@ -26,7 +26,7 @@ import numpy as np
 SRC_BLOCK_KMERS = 8 * 1024 * 1024      # 8M k-mers per compression block
 
 
-def write_cz_bits(path: str, bitmap: np.ndarray, level: int = 6) -> None:
+def write_cz_bits(path: str, bitmap: np.ndarray, level: int = 1) -> None:
     """Write a 1-bit-per-kmer table.  bitmap: uint8 array of 4^k/8 bytes,
     bit (7 - idx%8) of byte idx/8 set iff k-mer idx is high-frequency
     (bit order parity: correct_error/seqKmer.cpp:34 bitAll)."""

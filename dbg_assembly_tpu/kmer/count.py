@@ -162,8 +162,16 @@ def freq_bitmap(unique: np.ndarray, counts: np.ndarray, ksize: int,
 
 def expand_bitmap_rc(bitmap: np.ndarray, ksize: int) -> np.ndarray:
     """OR reverse-complement bits into the bitmap (consumer-side step,
-    main_parallel_senior.cpp:310-329). Returns a new bitmap."""
-    idx = np.flatnonzero(np.unpackbits(bitmap)).astype(np.uint64)
+    main_parallel_senior.cpp:310-329). Returns a new bitmap.
+
+    Only nonzero bytes are expanded (the table is sparse: occupied ratio
+    ~1e-3 at k=17), so this stays O(set bits), not O(4^k)."""
+    nz = np.flatnonzero(bitmap)
+    if len(nz) == 0:
+        return bitmap.copy()
+    bits = np.unpackbits(bitmap[nz][:, None], axis=1)       # [n, 8] MSB-first
+    rows, cols = np.nonzero(bits)
+    idx = (nz[rows].astype(np.uint64) << np.uint64(3)) + cols.astype(np.uint64)
     rc = dna.revcomp_kbit(idx, ksize)
     out = bitmap.copy()
     np.bitwise_or.at(out, (rc // 8).astype(np.int64),

@@ -1,0 +1,110 @@
+"""Distributed k-mer counting: prefix-sharded table with all_to_all routing.
+
+This is the TPU-native equivalent of the reference's key-space sharded hash
+update (`kmer % threadNum == threadId`, DBGgraph.cpp:148-150, SURVEY.md P2),
+lifted from threads+CAS to a device mesh + collectives:
+
+  1. each device chops canonical k-mers from its batch shard (dp),
+  2. owner shard = k-mer mod n_devices (matching the reference's ownership
+     rule; high bits would equally work for a sorted-table layout),
+  3. k-mers are bucketed per destination into equal-capacity buffers and
+     exchanged with jax.lax.all_to_all over the ICI,
+  4. the owner locally sorts + run-length-reduces its shard of k-mer space,
+  5. global statistics (total/unique counts) via psum.
+
+Everything runs under one jit(shard_map(...)) — no host round-trips between
+the phases.  Bucket overflow is surfaced via a per-device dropped-k-mer
+counter (capacity slack is configurable; with mod-sharding of random k-mers
+the load imbalance is tiny).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from .. import dna
+
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _local_chop(codes, lengths, ksize):
+    kmers = dna.rolling_kmers(codes, ksize)
+    can, _ = dna.canonical(kmers, ksize)
+    Pn = codes.shape[1] - ksize + 1
+    pos = jnp.arange(Pn, dtype=jnp.int32)[None, :]
+    valid = pos < (lengths[:, None] - ksize + 1)
+    can = jnp.where(valid, can, SENTINEL)
+    return can.reshape(-1), valid
+
+
+def _bucketize(flat, n_dev, capacity):
+    """Sort local k-mers by owner and pack into [n_dev, capacity] buffers
+    (SENTINEL-padded).  Returns (buffers, dropped_count)."""
+    owner = (flat % jnp.uint64(n_dev)).astype(jnp.int32)
+    owner = jnp.where(flat == SENTINEL, n_dev, owner)   # invalid to the end
+    order = jnp.argsort(owner, stable=True)
+    sk = flat[order]
+    so = owner[order]
+    seg_start = jnp.searchsorted(so, jnp.arange(n_dev, dtype=jnp.int32))
+    seg_end = jnp.searchsorted(so, jnp.arange(1, n_dev + 1, dtype=jnp.int32))
+    seg_cnt = seg_end - seg_start
+    slot = jnp.arange(capacity, dtype=jnp.int64)[None, :]
+    idx = seg_start[:, None] + slot                     # [n_dev, capacity]
+    take = slot < seg_cnt[:, None]
+    idx = jnp.clip(idx, 0, sk.shape[0] - 1)
+    buf = jnp.where(take, sk[idx], SENTINEL)
+    dropped = jnp.sum(jnp.maximum(seg_cnt - capacity, 0))
+    return buf, dropped
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "mesh", "capacity"))
+def count_step(codes, lengths, *, ksize: int, mesh, capacity: int):
+    """One distributed counting step over reads sharded on the batch dim.
+
+    Returns per-device-sharded (unique_kmers [D, capacity*D],
+    counts [D, capacity*D], n_unique [D], stats dict of global scalars).
+    """
+    n_dev = mesh.shape["d"]
+
+    def shard_fn(codes, lengths):
+        flat, valid = _local_chop(codes, lengths, ksize)
+        n_valid = jnp.sum(valid.astype(jnp.int64))
+        buf, dropped = _bucketize(flat, n_dev, capacity)
+        # exchange: row i of buf goes to device i
+        recv = jax.lax.all_to_all(buf[None], "d", split_axis=1,
+                                  concat_axis=1, tiled=False)[0]
+        mine = recv.reshape(-1)                         # [n_dev * capacity]
+        sk = jnp.sort(mine)
+        first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        first = first & (sk != SENTINEL)
+        n_unique = jnp.sum(first.astype(jnp.int64))
+        order = jnp.argsort(~first, stable=True)
+        starts = jnp.arange(sk.shape[0], dtype=jnp.int64)[order]
+        n_total = jnp.sum((sk != SENTINEL).astype(jnp.int64))
+        next_starts = jnp.concatenate(
+            [starts[1:], jnp.array([sk.shape[0]], jnp.int64)])
+        pos = jnp.arange(sk.shape[0], dtype=jnp.int64)
+        ends = jnp.where(pos == n_unique - 1, n_total, next_starts)
+        counts = jnp.where(pos < n_unique, ends - starts, 0)
+        uniq = jnp.where(pos < n_unique, sk[starts], SENTINEL)
+        g_total = jax.lax.psum(n_valid, "d")
+        g_unique = jax.lax.psum(n_unique, "d")
+        g_dropped = jax.lax.psum(dropped, "d")
+        return (uniq[None], counts[None], n_unique[None],
+                g_total[None], g_unique[None], g_dropped[None])
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("d", None), P("d")),
+        out_specs=(P("d", None), P("d", None), P("d"),
+                   P("d"), P("d"), P("d")))
+    uniq, counts, n_unique, g_total, g_unique, g_dropped = fn(codes, lengths)
+    stats = {"total_kmers": g_total[0], "unique_kmers": g_unique[0],
+             "dropped": g_dropped[0]}
+    return uniq, counts, n_unique, stats
