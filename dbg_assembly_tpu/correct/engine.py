@@ -50,10 +50,13 @@ class CorrectParams:
 
     def resolved(self):
         p = CorrectParams(**self.__dict__)
+        # the reference initializes these globals to the COMPILED KmerSize
+        # (17) before getopt runs, so -k does not change the -m/-x defaults
+        # (main_parallel_senior.cpp:52-55)
         if p.high_freq_reg_len == 0:
-            p.high_freq_reg_len = p.ksize
+            p.high_freq_reg_len = 17
         if p.further_trim == 0:
-            p.further_trim = p.ksize
+            p.further_trim = 17
         return p
 
 
@@ -103,11 +106,14 @@ def _regions_from_bits(bits) -> list[tuple[int, int, int]]:
     return regs
 
 
+_CODE_LIST = [int(x) for x in _CODE]
+
+
 def _seq2bit_str(read: bytearray, start: int, length: int) -> int:
     """substr + seq2bit with the k-mer alphabet (N->0)."""
     v = 0
     for c in read[start:start + length]:
-        v = (v << 2) | _CODE[c]
+        v = (v << 2) | _CODE_LIST[c]
     return v
 
 
@@ -162,28 +168,42 @@ class ReadCorrector:
         else:
             start_point_bit = _seq2bit_str(read, check_start, k - 1)
 
-        # node = (pointer, base, change, same)
-        nodes = [(0, 0, 0, 0)]
+        # node = (pointer, base, change, same, kmer)
+        # The reference rebuilds each candidate k-mer by walking parent
+        # pointers (get_kmer_rightward/leftward, correct.cpp:489-508,
+        # 619-635); caching the sliding k-mer per node yields identical
+        # values in O(1) per child (child = parent k-mer shifted by one
+        # base), which the unit test below verifies against the walk.
+        mask = (1 << (2 * k)) - 1
+        if rightward:
+            # root kmer positions: the k-1 anchor bases; a child's kmer is
+            # anchor<<2|base for depth-1 nodes == (root_kmer<<2|base)&mask
+            root_kmer = start_point_bit
+        else:
+            root_kmer = start_point_bit << 2  # low k-1 bases at high side
+        nodes = [(0, 0, 0, 0, root_kmer)]
         cur = [0]
         node_pos = 0
         cycle = check_start
         max_nodes = self.p.max_bbt_nodes
+        bm = self.bm
         while (cycle <= check_end) if rightward else (cycle >= check_end):
             tmp = []
             read_c = read[cycle - 1]
             for parent in cur:
-                pchange = nodes[parent][2]
+                pn = nodes[parent]
+                pchange = pn[2]
+                pk = pn[4]
                 for j in range(4):
                     if rightward:
-                        kbit = self._kmer_rightward(j, nodes, parent,
-                                                    start_point_bit)
+                        kbit = ((pk << 2) | j) & mask
                     else:
-                        kbit = self._kmer_leftward(j, nodes, parent,
-                                                   start_point_bit)
+                        kbit = (pk >> 2) | (j << (2 * (k - 1)))
                     same = 1 if ord(BASES[j]) == read_c else 0
                     change = pchange if same else pchange + 1
-                    if change <= max_allowed and self._freq(kbit):
-                        nodes.append((parent, j, change, same))
+                    if change <= max_allowed and \
+                            (bm[kbit >> 3] >> (7 - (kbit & 7))) & 1:
+                        nodes.append((parent, j, change, same, kbit))
                         node_pos += 1
                         tmp.append(node_pos)
             if len(tmp) >= 1 and node_pos < max_nodes:
@@ -220,7 +240,7 @@ class ReadCorrector:
             pos = min_pos
             rp = cycle - 1 if rightward else cycle + 1
             while pos > 0:
-                ptr, base, _, same = nodes[pos]
+                ptr, base, _, same, _k = nodes[pos]
                 if not same:
                     read[rp - 1] = ord(BASES[base])
                     if rightward:

@@ -1,6 +1,11 @@
 """Golden test of the error-correction stage: our kmerfreq replacement
 produces the .cz table, the shipped correct_error_reads consumes it, and our
-corrector must reproduce its output byte-for-byte."""
+corrector must reproduce its output byte-for-byte.
+
+Default run uses k=13 (8 MB table, seconds); the workflow-scale k=17 variant
+(2 GiB table, ~6 min dominated by zlib of the dense table) is gated behind
+DBG_SLOW_TESTS=1.
+"""
 
 import os
 import shutil
@@ -26,47 +31,46 @@ def _diff(a: bytes, b: bytes, label: str):
     raise AssertionError(f"{label}: length differs {len(a)} vs {len(b)}")
 
 
-@pytest.fixture(scope="module")
-def correction_setup(tmp_path_factory):
-    """Cleaned reads + our .cz table + reference correction outputs."""
-    d = tmp_path_factory.mktemp("corr")
-    ds = golden.sim_dataset()
-    cleaned = []
-    for p1, p2, ins in ds["libs"][:1]:     # one library (2 files) is enough
-        for p in (p1, p2):
-            lq = golden.ref_clean_lowqual(p, err=0.01, min_len=75)
-            ad = golden.ref_clean_adapter(lq["out"], score=12, min_len=75)
-            local = d / os.path.basename(ad["out"])
-            shutil.copy(ad["out"], local)
-            cleaned.append(str(local))
-    lib = d / "clean_reads.lib"
-    lib.write_text("".join(p + "\n" for p in cleaned))
-
+def _run_correction_golden(tmpdir, ksize):
     from dbg_assembly_tpu.kmer import kmerfreq
-    kf = kmerfreq.run(str(lib), ksize=17, low_freq_cutoff=1)
-
-    golden.ref_correct(kf["cz"], str(lib), k=17, c=2, workdir=str(d))
-    ref_out = {p: {"out": p + ".correct.fa.gz", "stat": p + ".correct.stat"}
-               for p in cleaned}
-    # stash reference outputs aside so ours can write to the same paths
-    for p, v in ref_out.items():
-        shutil.move(v["out"], v["out"] + ".ref")
-        shutil.move(v["stat"], v["stat"] + ".ref")
-    return {"lib": str(lib), "cz": kf["cz"], "files": cleaned}
-
-
-def test_correct_golden(correction_setup):
     from dbg_assembly_tpu.correct import pipeline
     from dbg_assembly_tpu.correct.engine import CorrectParams
 
-    cs = correction_setup
-    params = CorrectParams(ksize=17, max_change=2)
-    pipeline.run(cs["cz"], cs["lib"], params, fmt=1)
+    ds = golden.sim_dataset()
+    cleaned = []
+    for p1, p2, ins in ds["libs"][:1]:
+        for p in (p1, p2):
+            lq = golden.ref_clean_lowqual(p, err=0.01, min_len=75)
+            ad = golden.ref_clean_adapter(lq["out"], score=12, min_len=75)
+            local = os.path.join(tmpdir, os.path.basename(ad["out"]))
+            shutil.copy(ad["out"], local)
+            cleaned.append(str(local))
+    lib = os.path.join(tmpdir, "clean_reads.lib")
+    with open(lib, "w") as f:
+        f.write("".join(p + "\n" for p in cleaned))
 
-    for p in cs["files"]:
+    kf = kmerfreq.run(lib, ksize=ksize, low_freq_cutoff=1)
+    golden.ref_correct(kf["cz"], lib, k=ksize, c=2, workdir=tmpdir)
+    for p in cleaned:
+        shutil.move(p + ".correct.fa.gz", p + ".correct.fa.gz.ref")
+        shutil.move(p + ".correct.stat", p + ".correct.stat.ref")
+
+    pipeline.run(kf["cz"], lib, CorrectParams(ksize=ksize, max_change=2),
+                 fmt=1)
+    for p in cleaned:
         _diff(golden.gunzip_bytes(p + ".correct.fa.gz.ref"),
               golden.gunzip_bytes(p + ".correct.fa.gz"),
               os.path.basename(p) + " corrected")
         _diff(golden.read_bytes(p + ".correct.stat.ref"),
               golden.read_bytes(p + ".correct.stat"),
               os.path.basename(p) + " stat")
+
+
+def test_correct_golden_k13(tmp_path):
+    _run_correction_golden(str(tmp_path), ksize=13)
+
+
+@pytest.mark.skipif(os.environ.get("DBG_SLOW_TESTS") != "1",
+                    reason="2 GiB k=17 table; set DBG_SLOW_TESTS=1")
+def test_correct_golden_k17(tmp_path):
+    _run_correction_golden(str(tmp_path), ksize=17)
