@@ -1,0 +1,223 @@
+"""Command-line layer — one subcommand per reference binary, same flags.
+
+    python -m dbg_assembly_tpu clean_lowqual  -e 0.01 -r 75 in.fq.gz out.gz out.stat
+    python -m dbg_assembly_tpu clean_adapter  -a Both-adapter -s 12 in out stat
+    python -m dbg_assembly_tpu kmerfreq       -k 17 -m 1 reads.lib
+    python -m dbg_assembly_tpu correct_error_reads -k 17 -c 2 freq.cz reads.lib
+    python -m dbg_assembly_tpu debruijn_contig -k 31 -o prefix reads.lib
+    python -m dbg_assembly_tpu map_pair       -l 125 -r 250 -o outdir ctg.fa reads.lib
+    python -m dbg_assembly_tpu link_scaffold  -i 400 -o prefix ctg.fa twoctg.lib
+    python -m dbg_assembly_tpu seqlen_stat    lens.file
+    python -m dbg_assembly_tpu fasta_len      seqs.fa
+    python -m dbg_assembly_tpu scaffold_pipeline -p recipe.para ctg.fa
+
+Flag letters match the reference binaries (DBG_contig/main.cpp:162-196,
+map_pair.cpp:50-66, link_scaffold.cpp:89-104, main_parallel_senior.cpp:
+142-163, clean_lowqual.cpp:191-209, clean_adapter.cpp:272-291).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _clean_lowqual(argv):
+    ap = argparse.ArgumentParser(prog="clean_lowqual")
+    ap.add_argument("-e", type=float, default=0.001)
+    ap.add_argument("-q", type=int, default=33)
+    ap.add_argument("-r", type=int, default=75)
+    ap.add_argument("-t", type=int, default=3)    # accepted, unused
+    ap.add_argument("input")
+    ap.add_argument("output")
+    ap.add_argument("stat")
+    a = ap.parse_args(argv)
+    from .clean import lowqual
+    lowqual.run_file(a.input, a.output, a.stat, err_cutoff=a.e,
+                     min_read_len=a.r, quality_shift=a.q)
+
+
+def _clean_adapter(argv):
+    ap = argparse.ArgumentParser(prog="clean_adapter")
+    ap.add_argument("-a", default="Both-adapter")
+    ap.add_argument("-b", type=int, default=0)
+    ap.add_argument("-s", type=int, default=12)
+    ap.add_argument("-r", type=int, default=75)
+    ap.add_argument("-t", type=int, default=3)
+    ap.add_argument("input")
+    ap.add_argument("output")
+    ap.add_argument("stat")
+    a = ap.parse_args(argv)
+    from .clean import adapter
+    adapter.run_file(a.input, a.output, a.stat, adapter_file=a.a,
+                     score_cutoff=a.s, min_read_len=a.r, use_rc=bool(a.b))
+
+
+def _kmerfreq(argv):
+    ap = argparse.ArgumentParser(prog="kmerfreq")
+    ap.add_argument("-k", type=int, default=17)
+    ap.add_argument("-m", type=int, default=1,
+                    help="low frequency cutoff (bit set iff count > m)")
+    ap.add_argument("-q", type=int, default=0,
+                    help="accepted for workflow compatibility (quality "
+                         "masking not applied)")
+    ap.add_argument("-f", type=int, default=1)
+    ap.add_argument("lib")
+    a = ap.parse_args(argv)
+    from .kmer import kmerfreq
+    kmerfreq.run(a.lib, ksize=a.k, low_freq_cutoff=a.m,
+                 fmt="fq" if a.f == 1 else "fa")
+
+
+def _correct(argv):
+    ap = argparse.ArgumentParser(prog="correct_error_reads")
+    ap.add_argument("-k", type=int, default=17)
+    ap.add_argument("-m", type=int, default=0)
+    ap.add_argument("-c", type=int, default=2)
+    ap.add_argument("-x", type=int, default=0)
+    ap.add_argument("-n", type=int, default=5_000_000)
+    ap.add_argument("-r", type=int, default=75)
+    ap.add_argument("-t", type=int, default=10)
+    ap.add_argument("-f", type=int, default=1)
+    ap.add_argument("-j", type=int, default=0)
+    ap.add_argument("cz")
+    ap.add_argument("lib")
+    a = ap.parse_args(argv)
+    from .correct import pipeline
+    from .correct.engine import CorrectParams
+    params = CorrectParams(ksize=a.k, high_freq_reg_len=a.m, max_change=a.c,
+                           further_trim=a.x, max_bbt_nodes=a.n,
+                           min_read_len=a.r)
+    pipeline.run(a.cz, a.lib, params, fmt=a.f)
+    if a.j == 1:
+        from .contig.pipeline import read_file_list
+        from .utils.helpers import merge_corrected_pair
+        files = read_file_list(a.lib)
+        for i in range(0, len(files), 2):
+            merge_corrected_pair(files[i] + ".correct.fa.gz",
+                                 files[i + 1] + ".correct.fa.gz")
+
+
+def _debruijn_contig(argv):
+    ap = argparse.ArgumentParser(prog="debruijn_contig")
+    ap.add_argument("-k", type=int, default=31)
+    ap.add_argument("-r", type=int, default=250)
+    ap.add_argument("-f", type=int, default=1)
+    ap.add_argument("-o", default="output")
+    ap.add_argument("-t", type=int, default=10)
+    ap.add_argument("-i", type=float, default=1.0)
+    ap.add_argument("-l", type=float, default=0.7)
+    ap.add_argument("-e", type=int, default=10)
+    ap.add_argument("-b", type=int, default=10000)
+    ap.add_argument("-D", type=int, default=2)
+    ap.add_argument("-T", type=int, default=1)
+    ap.add_argument("-I", type=int, default=100)
+    ap.add_argument("-P", type=float, default=3.0)
+    ap.add_argument("-W", type=int, default=1)
+    ap.add_argument("-C", type=int, default=100)
+    ap.add_argument("-G", type=float, default=3.0)
+    ap.add_argument("-B", type=int, default=1)
+    ap.add_argument("-U", type=int, default=100)
+    ap.add_argument("-L", type=float, default=0.1)
+    ap.add_argument("-E", type=float, default=0.1)
+    ap.add_argument("-M", type=int, default=125)
+    ap.add_argument("lib")
+    a = ap.parse_args(argv)
+    from .contig import pipeline
+    from .contig.refassemble import AssembleParams
+    params = AssembleParams(
+        ksize=a.k, kmer_freq_cutoff=a.D, init_hash_size=a.i,
+        load_factor=a.l, is_remove_tip=bool(a.T), tip_len_cutoff=a.I,
+        tip_depth_cutoff=a.P, is_remove_lowedge=bool(a.W),
+        lowedge_len_cutoff=a.C, lowedge_depth_cutoff=a.G,
+        is_remove_bubble=bool(a.B), bubble_len_cutoff=a.U,
+        bubble_len_diff_rate=a.L, bubble_base_diff_rate=a.E,
+        contig_len_cutoff=a.M)
+    stats = pipeline.run(a.lib, a.o, ksize=a.k, fmt=a.f, max_read_len=a.r,
+                         params=params)
+    print(f"nodes={stats.total_nodes} contigs={stats.contig_num} "
+          f"contig_len={stats.contig_len}", file=sys.stderr)
+
+
+def _map_pair(argv):
+    ap = argparse.ArgumentParser(prog="map_pair")
+    ap.add_argument("-k", type=int, default=31)
+    ap.add_argument("-s", type=int, default=5)
+    ap.add_argument("-l", type=int, default=125)
+    ap.add_argument("-r", type=int, default=250)
+    ap.add_argument("-i", type=float, default=0.97)
+    ap.add_argument("-f", type=int, default=1)
+    ap.add_argument("-o", default="./")
+    ap.add_argument("contig_fa")
+    ap.add_argument("lib")
+    a = ap.parse_args(argv)
+    from .scaffold import map_pair
+    map_pair.run(a.contig_fa, a.lib, a.o, ksize=a.k, seed_kmer_num=a.s,
+                 min_ctg_len=a.l, min_read_len=a.r, min_identity=a.i,
+                 fmt=a.f)
+
+
+def _link_scaffold(argv):
+    ap = argparse.ArgumentParser(prog="link_scaffold")
+    ap.add_argument("-m", type=int, default=0)
+    ap.add_argument("-n", type=int, default=3)
+    ap.add_argument("-i", type=int, default=400)
+    ap.add_argument("-o", default="Output")
+    ap.add_argument("contig_fa")
+    ap.add_argument("twoctg_lib")
+    a = ap.parse_args(argv)
+    from .scaffold import scaffold
+    scaffold.run(a.contig_fa, a.twoctg_lib, a.o, insert_size=a.i,
+                 pair_num_cut=a.n, is_mate=bool(a.m))
+
+
+def _fasta_len(argv):
+    ap = argparse.ArgumentParser(prog="fasta_len")
+    ap.add_argument("fa")
+    ap.add_argument("-o", default=None)
+    a = ap.parse_args(argv)
+    from .utils import nstat
+    nstat.write_len_file(a.fa, a.o or (a.fa + ".len"))
+
+
+def _seqlen_stat(argv):
+    ap = argparse.ArgumentParser(prog="seqlen_stat")
+    ap.add_argument("-col", type=int, default=2)
+    ap.add_argument("len_file")
+    ap.add_argument("-o", default=None)
+    a = ap.parse_args(argv)
+    from .utils import nstat
+    nstat.write_len_stat(a.len_file, a.o or (a.len_file + ".stat"),
+                         col=a.col)
+
+
+COMMANDS = {
+    "clean_lowqual": _clean_lowqual,
+    "clean_adapter": _clean_adapter,
+    "kmerfreq": _kmerfreq,
+    "correct_error_reads": _correct,
+    "debruijn_contig": _debruijn_contig,
+    "map_pair": _map_pair,
+    "link_scaffold": _link_scaffold,
+    "fasta_len": _fasta_len,
+    "seqlen_stat": _seqlen_stat,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m dbg_assembly_tpu <command> [args]\n"
+              "commands: " + " ".join(sorted(COMMANDS)))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd}; commands: "
+              + " ".join(sorted(COMMANDS)), file=sys.stderr)
+        return 2
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
