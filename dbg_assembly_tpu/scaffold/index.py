@@ -121,8 +121,12 @@ class MapResult:
 
 def map_reads(ix: ContigIndex, codes: np.ndarray, ascii_seq: np.ndarray,
               lengths: np.ndarray, seed_kmer_num: int,
-              min_identity: float, search_start: int = 1) -> MapResult:
-    """Map each read (first qualifying seed + ungapped extension)."""
+              min_identity: float, search_start=1) -> MapResult:
+    """Map each read (first qualifying seed + ungapped extension).
+
+    search_start: scalar or per-read array of 1-based positions to begin the
+    seed scan (map_reads' second-alignment pass uses align_read_end+1,
+    map_reads.cpp:484)."""
     k = ix.ksize
     S = seed_kmer_num
     N, L = codes.shape
@@ -140,8 +144,11 @@ def map_reads(ix: ContigIndex, codes: np.ndarray, ascii_seq: np.ndarray,
 
     ok1 = found & (cuniq == 1)
     pos_i = np.arange(P)
+    ss = np.asarray(search_start)
+    if ss.ndim == 0:
+        ss = np.full(N, int(ss), np.int64)
     # i ranges over search_start-1 .. read_len - k - S (inclusive)
-    in_range = (pos_i[None, :] >= search_start - 1) & \
+    in_range = (pos_i[None, :] >= ss[:, None] - 1) & \
                (pos_i[None, :] <= lengths[:, None].astype(np.int64) - k - S)
     valid_pair = np.zeros((N, P), bool)
     if P > S:

@@ -274,6 +274,44 @@ class LinkGraph:
         return out
 
 
+def parse_read_ends_map_file(path: str, g: LinkGraph):
+    """Parity: parse_read_ends_map_file (link_func.cpp:141-220) — gap from
+    read coordinates, no acceptance window (single-read two-part links)."""
+    import gzip
+    with gzip.open(path, "rb") as f:
+        for line in f:
+            if line[:1] == b"#":
+                continue
+            v = [t for t in line.replace(b"\t", b" ").rstrip(b"\n")
+                 .split(b" ") if t]
+            if len(v) < 19:
+                continue
+            d1, d2 = v[8], v[18]
+            c1, c2 = v[4], v[14]
+            gap = int(v[12]) - int(v[3]) - 1
+            if d1 == b"F" and d2 == b"F":
+                a1 = ctg_str2id(c1); a2 = a1 + 1
+                a3 = ctg_str2id(c2); a4 = a3 + 1
+                g.counters["FF"] += 1
+            elif d1 == b"R" and d2 == b"R":
+                a2 = ctg_str2id(c1); a1 = a2 + 1
+                a4 = ctg_str2id(c2); a3 = a4 + 1
+                g.counters["RR"] += 1
+            elif d1 == b"F" and d2 == b"R":
+                a1 = ctg_str2id(c1); a2 = a1 + 1
+                a4 = ctg_str2id(c2); a3 = a4 + 1
+                g.counters["FR"] += 1
+            elif d1 == b"R" and d2 == b"F":
+                a2 = ctg_str2id(c1); a1 = a2 + 1
+                a3 = ctg_str2id(c2); a4 = a3 + 1
+                g.counters["RF"] += 1
+            else:
+                g.counters["wrong"] += 1
+                continue
+            g.add(a1, a3, gap)
+            g.add(a4, a2, gap)
+
+
 def parse_pair_map_file(path: str, g: LinkGraph, contig_seqs,
                         insert_size: int, is_mate: bool):
     """Parity: parse_pair_ends_map_file (link_func.cpp:226-324) and

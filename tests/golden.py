@@ -134,3 +134,22 @@ def ref_link_scaffold(contig_fa: str, twoctg_lib: str, prefix: str,
     run([f"{REF}/link_scaffold/link_scaffold", "-m", str(is_mate),
          "-n", str(pair_cut), "-i", str(insert), "-o", prefix,
          contig_fa, twoctg_lib], cwd=workdir, timeout=1800)
+
+
+def ref_map_reads(contig_fa: str, lib_path: str, outdir: str,
+                  min_ctg=125, min_read=250, workdir=None) -> None:
+    run([f"{REF}/link_scaffold/map_reads", "-l", str(min_ctg),
+         "-r", str(min_read), "-t", "1", "-o", outdir, contig_fa, lib_path],
+        cwd=workdir, timeout=1800)
+
+
+def ref_link_contig(contig_fa: str, twoctg_lib: str, prefix: str,
+                    pair_cut=3, workdir=None) -> None:
+    run([f"{REF}/link_scaffold/link_contig", "-n", str(pair_cut),
+         "-o", prefix, contig_fa, twoctg_lib], cwd=workdir, timeout=1800)
+
+
+def ref_link_supertig(contig_fa: str, twoctg_lib: str, prefix: str,
+                      pair_cut=3, workdir=None) -> None:
+    run([f"{REF}/link_scaffold/link_supertig", "-n", str(pair_cut),
+         "-o", prefix, contig_fa, twoctg_lib], cwd=workdir, timeout=1800)
