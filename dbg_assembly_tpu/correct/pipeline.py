@@ -27,6 +27,22 @@ def load_bitmap(cz_path: str, ksize: int) -> np.ndarray:
     return kc.expand_bitmap_rc(bm, ksize)
 
 
+def load_bitmap_8bit(cz_path: str, ksize: int,
+                     low_freq_cutoff: int = 10) -> np.ndarray:
+    """Load an 8-bit .cz table into a high-frequency bitmap with RC bits set
+    (make_kmerFreq_1bit_table_from_8BitGz, correct_error/main.cpp:161-220:
+    high iff count > cutoff, strict '>')."""
+    from .. import dna
+    freqs = czio.read_cz_bytes(cz_path, ksize)
+    hi = np.flatnonzero(freqs > low_freq_cutoff).astype(np.uint64)
+    total = 1 << (2 * ksize)
+    bitmap = np.zeros(total // 8, dtype=np.uint8)
+    for idx in (hi, dna.revcomp_kbit(hi, ksize)):
+        np.bitwise_or.at(bitmap, (idx // 8).astype(np.int64),
+                         (np.uint8(1) << (7 - (idx % 8)).astype(np.uint8)))
+    return bitmap
+
+
 def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
                  fmt: int = 1) -> dict:
     p = params.resolved()
@@ -102,4 +118,110 @@ def run(cz_path: str, lib_path: str, params: CorrectParams | None = None,
     results = []
     for path in read_file_list(lib_path):
         results.append(correct_file(path, bitmap, params, fmt))
+    return results
+
+
+def correct_file_8bit(path: str, bitmap: np.ndarray, params: CorrectParams,
+                      fmt: int = 1) -> dict:
+    """correct_error (8-bit table) driver variant.
+
+    Parity: correct_error/parse_one_reads_fq_file / _fa_file
+    (correct.cpp:639-848): outputs <reads>.cor (gz) with the
+    " score: N  left_trim: N" header annotation, deleted reads as an empty
+    line, and <reads>.cor.stat with the older key names.  Defaults differ
+    from the senior driver: HighFreqRegLenCutoff IS recomputed from -k
+    (main.cpp:93-95), Further_trim_len default is the compiled 17/2=8.
+    """
+    p = params.resolved()
+    batch = fastq.read_batch(path, fmt="fq" if fmt == 1 else "fa",
+                             strict_n=False, keep_ascii=True)
+    n = batch.n_reads
+    lengths = batch.lengths.astype(np.int64)
+    bits = classify_regions_batch(batch.codes, batch.lengths, bitmap,
+                                  p.ksize)
+    corr = ReadCorrector(bitmap, p)
+
+    stats = dict(raw_reads=n, raw_bases=int(lengths.sum()), res_reads=0,
+                 res_bases=0, trimmed_reads=0, trimmed_bases=0,
+                 deleted_reads=0, one=0, multi=0)
+    out = bytearray()
+    for i in range(n):
+        L = int(lengths[i])
+        head = batch.heads[i]
+        if fmt == 1 and head[:1] == b"@":
+            head = b">" + head[1:]
+        read = bytearray(batch.seqs_ascii[i, :L].tobytes())
+        if L >= p.ksize:
+            one, multi, deleted, tl, tr = corr.correct_one_read(
+                read, bits[i, :max(L - p.ksize + 1, 0)])
+        else:
+            one, multi, deleted, tl, tr = 0, 0, 1, 0, 0
+        score = one + multi
+        final_len = L - tl - tr
+        if not deleted:
+            stats["one"] += one
+            stats["multi"] += multi
+            if tl > 0 or tr > 0:
+                read = read[tl:tl + final_len]
+                stats["trimmed_reads"] += 1
+                stats["trimmed_bases"] += tl + tr
+            stats["res_reads"] += 1
+            stats["res_bases"] += final_len
+            out += (head + f" score: {score}  left_trim: {tl}".encode()
+                    + b"\n" + bytes(read) + b"\n")
+        else:
+            stats["deleted_reads"] += 1
+            out += (head + f" score: {score}  left_trim: {tl}".encode()
+                    + b"\n\n")
+    with gzip.open(path + ".cor", "wb", compresslevel=6) as f:
+        f.write(bytes(out))
+
+    all_score = stats["one"] + stats["multi"]
+    filt = (stats["raw_bases"] - stats["res_bases"]) / stats["raw_bases"] \
+        if stats["raw_bases"] else float("nan")
+    corr_ratio = all_score / stats["res_bases"] if stats["res_bases"] \
+        else float("nan")
+    with open(path + ".cor.stat", "w") as f:
+        f.write(f"num_raw_reads {stats['raw_reads']}\n")
+        f.write(f"num_raw_bases {stats['raw_bases']}\n")
+        f.write(f"num_result_reads {stats['res_reads']}\n")
+        f.write(f"num_result_bases {stats['res_bases']}\n")
+        f.write(f"\nnum_trimmed_reads {stats['trimmed_reads']}\n")
+        f.write(f"num_trimmed_bases {stats['trimmed_bases']}\n")
+        f.write(f"num_deleted_reads {stats['deleted_reads']}\n")
+        f.write(f"\nnum_corrected_bases_by_Fast_method {stats['one']}\n")
+        f.write(f"num_corrected_bases_by_BBtree_method {stats['multi']}\n")
+        f.write(f"num_corrected_bases_by_two_methods {all_score}\n")
+        f.write("\nlow_quality_bases_filter_ratio "
+                f"{statio.fmt_g6(filt)}\n")
+        f.write("estimated_raw_base_error_ratio "
+                f"{statio.fmt_g6(corr_ratio)}\n")
+    return {"out": path + ".cor", "stat": path + ".cor.stat"}
+
+
+def run_8bit(cz_path: str, lib_path: str, ksize: int = 17,
+             low_freq_cutoff: int = 10, max_change: int = 2,
+             high_freq_reg_len: int = 0, further_trim: int = 0,
+             min_read_len: int = 50, max_bbt_nodes: int = 15_000_000,
+             fmt: int = 1, join: bool = True) -> list[dict]:
+    """correct_error (v2.2, 8-bit table) pipeline.  -m 0 resolves to the
+    RUNTIME k (main.cpp:93-95), -x 0 to the compiled 17/2 = 8."""
+    from ..contig.pipeline import read_file_list
+    from ..utils.helpers import merge_corrected_pair
+
+    params = CorrectParams(
+        ksize=ksize,
+        high_freq_reg_len=high_freq_reg_len or ksize,
+        max_change=max_change,
+        further_trim=further_trim or 8,
+        max_bbt_nodes=max_bbt_nodes,
+        min_read_len=min_read_len)
+    bitmap = load_bitmap_8bit(cz_path, ksize, low_freq_cutoff)
+    results = []
+    files = read_file_list(lib_path)
+    for path in files:
+        results.append(correct_file_8bit(path, bitmap, params, fmt))
+    if join:
+        for i in range(0, len(files) - 1, 2):
+            merge_corrected_pair(files[i] + ".cor", files[i + 1] + ".cor")
     return results

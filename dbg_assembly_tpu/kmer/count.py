@@ -81,6 +81,36 @@ def run_length(sorted_kmers: jnp.ndarray):
     return uniq, counts, n_unique
 
 
+@functools.partial(jax.jit, static_argnames=("max_freq",))
+def count_stats(sorted_kmers: jnp.ndarray, max_freq: int = 65535):
+    """Spectrum histogram + species count from a sorted k-mer vector,
+    WITHOUT compaction (no second sort): run boundaries by neighbor diff,
+    run lengths by suffix-min of boundary indices.  This is the fast path
+    for counting statistics; run_length() remains for when the compacted
+    (unique, counts) arrays themselves are needed.
+    """
+    x = sorted_kmers
+    n = x.shape[0]
+    valid = x != SENTINEL
+    idx = jnp.arange(n, dtype=jnp.int64)
+    first = jnp.concatenate([jnp.ones((1,), bool), x[1:] != x[:-1]]) & valid
+    # boundaries: run starts plus the first sentinel position
+    to_invalid = jnp.concatenate([jnp.zeros((1,), bool),
+                                  valid[:-1] & ~valid[1:]])
+    boundary = first | to_invalid
+    fidx = jnp.where(boundary, idx, n)
+    # next boundary strictly after i: reversed cumulative min of fidx[i+1:]
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([fidx[1:], jnp.array([n], jnp.int64)]))))
+    counts = jnp.where(first, nxt - idx, 0)
+    n_unique = jnp.sum(first.astype(jnp.int64))
+    n_valid = jnp.sum(valid.astype(jnp.int64))
+    capped = jnp.clip(counts, 0, max_freq).astype(jnp.int32)
+    spectrum = jnp.zeros(max_freq + 1, jnp.int64).at[capped].add(
+        jnp.where(first, 1, 0).astype(jnp.int64))
+    return spectrum, n_unique, n_valid
+
+
 def count_batch(codes: np.ndarray, lengths: np.ndarray, ksize: int):
     """Count canonical k-mers of one batch on the default device.
 

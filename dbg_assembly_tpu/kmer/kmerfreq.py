@@ -24,7 +24,11 @@ from . import count as kc
 
 def run(lib_path: str, ksize: int = 17, low_freq_cutoff: int = 1,
         fmt: str | None = None, out_prefix: str | None = None,
-        batch_reads: int = 200_000) -> dict:
+        batch_reads: int = 200_000, table_format: str = "1bit") -> dict:
+    """table_format '1bit': high/low bitmap (kmerfreq_16bit, consumed by
+    correct_error_reads); '8bit': one saturated count byte per k-mer index
+    (consumed by correct_error/correct_error_parallel,
+    correct_error/main.cpp:161-220)."""
     from ..contig.pipeline import read_file_list
 
     prefix = out_prefix or (lib_path + ".kmer.freq")
@@ -36,8 +40,14 @@ def run(lib_path: str, ksize: int = 17, low_freq_cutoff: int = 1,
         counter.add(batch.codes, batch.lengths)
     uniq, counts, total = counter.finalize()
 
-    bitmap = kc.freq_bitmap(uniq, counts, ksize, low_freq_cutoff)
-    czio.write_cz_bits(prefix + ".cz", bitmap)
+    if table_format == "8bit":
+        freqs = np.zeros(1 << (2 * ksize), dtype=np.uint8)
+        freqs[uniq.astype(np.int64)] = np.minimum(counts, 255)
+        czio.write_cz_bytes(prefix + ".cz", freqs)
+        bitmap = None
+    else:
+        bitmap = kc.freq_bitmap(uniq, counts, ksize, low_freq_cutoff)
+        czio.write_cz_bits(prefix + ".cz", bitmap)
 
     spec = kc.spectrum(counts, max_freq=65535)
     theory = 1 << (2 * ksize)

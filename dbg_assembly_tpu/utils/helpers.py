@@ -29,12 +29,14 @@ def _read_fasta_dict(path: str) -> dict:
 
 
 def redecide_contig_and_small(contig_file: str, small_file: str,
-                              len_cutoff: int = 100,
-                              prefix: str = "ctg") -> tuple[str, str]:
-    """Parity: redecide_contig_and_small.pl (and the scafftig variant with
-    prefix='sct'): re-split two FASTA files at a new length cutoff,
-    renumbering with odd ids for the large set; iteration is ASCIIbetical
-    over ids (Perl `sort keys`)."""
+                              len_cutoff: int = 100, prefix: str = "ctg",
+                              small_prefix: str = "small") -> tuple[str, str]:
+    """Parity: redecide_contig_and_small.pl (scafftig variant:
+    prefix='sct', small_prefix='smalltig'): re-split two FASTA files at a
+    new length cutoff, renumbering with odd ids for the large set;
+    iteration is ASCIIbetical over ids (Perl `sort keys`); the first header
+    token is replaced in place, the remainder kept verbatim."""
+    import re
     records = _read_fasta_dict(contig_file)
     records.update(_read_fasta_dict(small_file))
     big_path = f"{contig_file}.len{len_cutoff}.fa"
@@ -44,14 +46,14 @@ def redecide_contig_and_small(contig_file: str, small_file: str,
     with open(big_path, "w") as bf, open(small_path, "w") as sf:
         for name in sorted(records):
             head, seq = records[name]
-            rest = head.split(None, 1)
-            tail = ("\t" + rest[1]) if len(rest) > 1 else ""
             if len(seq) > len_cutoff:
                 ctg_id += 2
-                bf.write(f">{prefix}_{ctg_id}{tail}\n{seq}\n")
+                nh = re.sub(r"^\S+", str(ctg_id), head, count=1)
+                bf.write(f">{prefix}_{nh}\n{seq}\n")
             else:
                 sma_id += 1
-                sf.write(f">small_{sma_id}{tail}\n{seq}\n")
+                nh = re.sub(r"^\S+", str(sma_id), head, count=1)
+                sf.write(f">{small_prefix}_{nh}\n{seq}\n")
     return big_path, small_path
 
 
