@@ -110,25 +110,29 @@ def measure_tpu() -> float:
     P = READ_LEN - KSIZE + 1
 
     @jax.jit
-    def step(c, l_, salt):
-        # salt reshuffles read order so iterations aren't byte-identical
-        c = jnp.roll(c, salt, axis=0)
-        flat, n_valid = kc.chop_canonical(c, l_, KSIZE)
-        flat = jnp.sort(flat)
-        spectrum, n_unique, n_valid2 = kc.count_stats(flat, max_freq=255)
-        return spectrum[1] + n_unique + n_valid
+    def bench_loop(c, l_, iters):
+        # whole timing loop on device: per-jit-call dispatch through the dev
+        # tunnel costs seconds and would swamp the kernel time
+        def body(i, acc):
+            c2 = jnp.roll(c, i, axis=0)   # vary input between iterations
+            flat, n_valid = kc.chop_canonical(c2, l_, KSIZE)
+            flat = jnp.sort(flat)
+            spectrum, n_unique, _ = kc.count_stats(flat, max_freq=255)
+            return acc + spectrum[1] + n_unique + n_valid
+        return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
 
     cb = jnp.asarray(codes)
     lb = jnp.asarray(lengths)
-    float(np.asarray(step(cb, lb, 0)))         # compile + warm
+    float(np.asarray(bench_loop(cb, lb, 1)))         # compile + warm
 
-    iters = 8
     t0 = time.perf_counter()
-    acc = 0.0
-    for it in range(iters):
-        acc += float(np.asarray(step(cb, lb, it)))
-    dt = time.perf_counter() - t0
-    return iters * batch * P / dt
+    float(np.asarray(bench_loop(cb, lb, 10)))
+    d10 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(np.asarray(bench_loop(cb, lb, 2)))
+    d2 = time.perf_counter() - t0
+    per_iter = (d10 - d2) / 8
+    return batch * P / per_iter
 
 
 def main():
