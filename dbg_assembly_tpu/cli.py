@@ -191,16 +191,182 @@ def _seqlen_stat(argv):
                          col=a.col)
 
 
+def _correct_8bit(argv):
+    ap = argparse.ArgumentParser(prog="correct_error")
+    ap.add_argument("-k", type=int, default=17)
+    ap.add_argument("-l", type=int, default=10)
+    ap.add_argument("-m", type=int, default=0)
+    ap.add_argument("-c", type=int, default=2)
+    ap.add_argument("-x", type=int, default=0)
+    ap.add_argument("-n", type=int, default=15_000_000)
+    ap.add_argument("-r", type=int, default=50)
+    ap.add_argument("-f", type=int, default=1)
+    ap.add_argument("-j", type=int, default=1)
+    ap.add_argument("cz")
+    ap.add_argument("lib")
+    a = ap.parse_args(argv)
+    from .correct import pipeline
+    pipeline.run_8bit(a.cz, a.lib, ksize=a.k, low_freq_cutoff=a.l,
+                      max_change=a.c, high_freq_reg_len=a.m,
+                      further_trim=a.x, min_read_len=a.r,
+                      max_bbt_nodes=a.n, fmt=a.f, join=(a.j == 1))
+
+
+def _map_reads(argv):
+    ap = argparse.ArgumentParser(prog="map_reads")
+    ap.add_argument("-k", type=int, default=31)
+    ap.add_argument("-s", type=int, default=5)
+    ap.add_argument("-l", type=int, default=125)
+    ap.add_argument("-r", type=int, default=250)
+    ap.add_argument("-i", type=float, default=0.97)
+    ap.add_argument("-f", type=int, default=1)
+    ap.add_argument("-o", default="./")
+    ap.add_argument("-t", type=int, default=10)
+    ap.add_argument("contig_fa")
+    ap.add_argument("lib")
+    a = ap.parse_args(argv)
+    from .scaffold import map_reads
+    map_reads.run(a.contig_fa, a.lib, a.o, ksize=a.k, seed_kmer_num=a.s,
+                  min_ctg_len=a.l, min_read_len=a.r, min_identity=a.i,
+                  fmt=a.f)
+
+
+def _link_contig(argv):
+    ap = argparse.ArgumentParser(prog="link_contig")
+    ap.add_argument("-n", type=int, default=3)
+    ap.add_argument("-o", default="Output")
+    ap.add_argument("contig_fa")
+    ap.add_argument("twoctg_lib")
+    a = ap.parse_args(argv)
+    from .scaffold import link_contig
+    link_contig.run(a.contig_fa, a.twoctg_lib, a.o, pair_num_cut=a.n)
+
+
+def _link_supertig(argv):
+    ap = argparse.ArgumentParser(prog="link_supertig")
+    ap.add_argument("-n", type=int, default=3)
+    ap.add_argument("-o", default="Output")
+    ap.add_argument("contig_fa")
+    ap.add_argument("twoctg_lib")
+    a = ap.parse_args(argv)
+    from .scaffold import link_contig
+    link_contig.run_supertig(a.contig_fa, a.twoctg_lib, a.o,
+                             pair_num_cut=a.n)
+
+
+def _redecide(argv):
+    ap = argparse.ArgumentParser(prog="redecide_contig_and_small")
+    ap.add_argument("--scafftig", action="store_true")
+    ap.add_argument("contig_file")
+    ap.add_argument("small_file")
+    ap.add_argument("len_cutoff", type=int, nargs="?", default=100)
+    a = ap.parse_args(argv)
+    from .utils.helpers import redecide_contig_and_small
+    if a.scafftig:
+        redecide_contig_and_small(a.contig_file, a.small_file, a.len_cutoff,
+                                  prefix="sct", small_prefix="smalltig")
+    else:
+        redecide_contig_and_small(a.contig_file, a.small_file, a.len_cutoff)
+
+
+def _filter_unpaired(argv):
+    ap = argparse.ArgumentParser(prog="filter_unpaired_reads")
+    ap.add_argument("reads1")
+    ap.add_argument("reads2")
+    a = ap.parse_args(argv)
+    from .utils.helpers import filter_unpaired_reads
+    filter_unpaired_reads(a.reads1, a.reads2)
+
+
+def _merge_assembly(argv):
+    ap = argparse.ArgumentParser(prog="merge_assembly")
+    ap.add_argument("--output_prefix", default="Output")
+    ap.add_argument("--seqidprefix", default="TMC_")
+    ap.add_argument("psl_best")
+    ap.add_argument("scafftig_fa")
+    ap.add_argument("utg_fa")
+    a = ap.parse_args(argv)
+    from .utils.merge_assembly import run
+    run(a.psl_best, a.scafftig_fa, a.utg_fa, a.output_prefix, a.seqidprefix)
+
+
+def _blasrm4(argv):
+    ap = argparse.ArgumentParser(prog="blasrm4")
+    ap.add_argument("stage", choices=["besthit", "map", "twoctg",
+                                      "fullread_to_subread"])
+    ap.add_argument("input")
+    ap.add_argument("extra", nargs="?", default=None)
+    ap.add_argument("--fileformat", default="blasrm4")
+    ap.add_argument("--endlencut", type=int, default=100)
+    ap.add_argument("--alignlencut", type=int, default=1000)
+    ap.add_argument("--identitycut", type=float, default=0.7)
+    a = ap.parse_args(argv)
+    from .utils import pacbio
+    with open(a.input) as f:
+        lines = f.read().splitlines()
+    if a.stage == "besthit":
+        for line in pacbio.blasrm4_besthit(lines, a.fileformat):
+            print(line)
+    elif a.stage == "map":
+        out, stats = pacbio.blasrm4_map(lines, a.endlencut, a.alignlencut,
+                                        a.identitycut)
+        for line in out:
+            print(line)
+        for k, v in stats.items():
+            print(f"{k}: {v}", file=sys.stderr)
+    elif a.stage == "twoctg":
+        reps = []
+        if a.extra:
+            with open(a.extra) as f:
+                reps = [ln.split()[0] for ln in f if ln.split()]
+        for line in pacbio.blasrm4_twoctg(lines, reps):
+            print(line)
+    else:
+        for line in pacbio.fullread_to_subread(lines, a.extra or "m0001"):
+            print(line)
+
+
+def _pipeline(argv):
+    ap = argparse.ArgumentParser(
+        prog="pipeline",
+        description="full workflow: clean -> correct -> contigs -> "
+                    "iterative scaffolding (see workflow.py)")
+    ap.add_argument("-k", type=int, default=17, help="correction kmer size")
+    ap.add_argument("-K", type=int, default=31, help="contig kmer size")
+    ap.add_argument("-w", default="./assembly_work", help="work dir")
+    ap.add_argument("-p", default=None, help=".para scaffold recipe")
+    ap.add_argument("libs", nargs="+",
+                    help="read1,read2,insert triples (comma separated)")
+    a = ap.parse_args(argv)
+    from .workflow import PipelineConfig, run_full
+    raw = []
+    for spec in a.libs:
+        r1, r2, ins = spec.split(",")
+        raw.append((r1, r2, int(ins)))
+    cfg = PipelineConfig(correct_k=a.k, contig_k=a.K)
+    out = run_full(raw, cfg, a.w, a.p)
+    print(out)
+
+
 COMMANDS = {
     "clean_lowqual": _clean_lowqual,
     "clean_adapter": _clean_adapter,
     "kmerfreq": _kmerfreq,
     "correct_error_reads": _correct,
+    "correct_error": _correct_8bit,
     "debruijn_contig": _debruijn_contig,
     "map_pair": _map_pair,
+    "map_reads": _map_reads,
     "link_scaffold": _link_scaffold,
+    "link_contig": _link_contig,
+    "link_supertig": _link_supertig,
     "fasta_len": _fasta_len,
     "seqlen_stat": _seqlen_stat,
+    "redecide_contig_and_small": _redecide,
+    "filter_unpaired_reads": _filter_unpaired,
+    "merge_assembly": _merge_assembly,
+    "blasrm4": _blasrm4,
+    "pipeline": _pipeline,
 }
 
 
