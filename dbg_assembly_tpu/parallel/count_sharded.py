@@ -108,3 +108,88 @@ def count_step(codes, lengths, *, ksize: int, mesh, capacity: int):
     stats = {"total_kmers": g_total[0], "unique_kmers": g_unique[0],
              "dropped": g_dropped[0]}
     return uniq, counts, n_unique, stats
+
+
+def _bucketize_with_payload(flat, payload, n_dev, capacity):
+    """Like _bucketize but carries an int32 payload alongside each k-mer."""
+    owner = (flat % jnp.uint64(n_dev)).astype(jnp.int32)
+    owner = jnp.where(flat == SENTINEL, n_dev, owner)
+    order = jnp.argsort(owner, stable=True)
+    sk = flat[order]
+    sp = payload[order]
+    so = owner[order]
+    seg_start = jnp.searchsorted(so, jnp.arange(n_dev, dtype=jnp.int32))
+    seg_end = jnp.searchsorted(so, jnp.arange(1, n_dev + 1, dtype=jnp.int32))
+    seg_cnt = seg_end - seg_start
+    slot = jnp.arange(capacity, dtype=jnp.int64)[None, :]
+    idx = jnp.clip(seg_start[:, None] + slot, 0, sk.shape[0] - 1)
+    take = slot < seg_cnt[:, None]
+    buf_k = jnp.where(take, sk[idx], SENTINEL)
+    buf_p = jnp.where(take, sp[idx], 0)
+    dropped = jnp.sum(jnp.maximum(seg_cnt - capacity, 0))
+    return buf_k, buf_p, dropped
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "mesh", "capacity"))
+def graph_ingest_step(codes, lengths, *, ksize: int, mesh, capacity: int):
+    """Distributed de Bruijn graph ingest: the multi-chip version of the
+    contig stage's node-table build (SURVEY.md P2, the BASELINE north star).
+
+    Each device chops canonical k-mers WITH strand-adjusted neighbor bases
+    (DBGgraph.cpp:76-89 semantics), routes (kmer, left|right packed payload)
+    to the k-mer's owner shard with all_to_all, and the owner segment-sums
+    the eight 8-bit edge counters for its k-mer species.
+
+    Returns per-device (uniq [D,n], lcnt [D,n,4], rcnt [D,n,4],
+    n_unique [D]) and global stats.
+    """
+    from ..contig.graph import _chop_with_edges
+    n_dev = mesh.shape["d"]
+
+    def shard_fn(codes, lengths):
+        can, left, right, valid = _chop_with_edges(codes, lengths, ksize)
+        flat = can.reshape(-1)
+        payload = (left.reshape(-1) * 8 + right.reshape(-1)).astype(jnp.int32)
+        n_valid = jnp.sum(valid.astype(jnp.int64))
+        buf_k, buf_p, dropped = _bucketize_with_payload(
+            flat, payload, n_dev, capacity)
+        recv_k = jax.lax.all_to_all(buf_k[None], "d", split_axis=1,
+                                    concat_axis=1, tiled=False)[0].reshape(-1)
+        recv_p = jax.lax.all_to_all(buf_p[None], "d", split_axis=1,
+                                    concat_axis=1, tiled=False)[0].reshape(-1)
+        order = jnp.argsort(recv_k, stable=True)
+        sk = recv_k[order]
+        sp = recv_p[order]
+        n = sk.shape[0]
+        first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+        first = first & (sk != SENTINEL)
+        seg = jnp.maximum(jnp.cumsum(first.astype(jnp.int64)) - 1, 0) \
+            .astype(jnp.int32)
+        is_valid = sk != SENTINEL
+        lbase = sp // 8
+        rbase = sp % 8
+        lhot = ((lbase[:, None] == jnp.arange(4)[None, :])
+                & is_valid[:, None]).astype(jnp.int32)
+        rhot = ((rbase[:, None] == jnp.arange(4)[None, :])
+                & is_valid[:, None]).astype(jnp.int32)
+        lcnt = jax.ops.segment_sum(lhot, seg, num_segments=n)
+        rcnt = jax.ops.segment_sum(rhot, seg, num_segments=n)
+        uniq = jax.ops.segment_min(
+            jnp.where(is_valid, sk, SENTINEL), seg, num_segments=n)
+        n_unique = jnp.sum(first.astype(jnp.int64))
+        g_total = jax.lax.psum(n_valid, "d")
+        g_unique = jax.lax.psum(n_unique, "d")
+        g_dropped = jax.lax.psum(dropped, "d")
+        return (uniq[None], lcnt[None], rcnt[None], n_unique[None],
+                g_total[None], g_unique[None], g_dropped[None])
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("d", None), P("d")),
+        out_specs=(P("d", None), P("d", None, None), P("d", None, None),
+                   P("d"), P("d"), P("d"), P("d")))
+    uniq, lcnt, rcnt, n_unique, g_total, g_unique, g_dropped = fn(
+        codes, lengths)
+    stats = {"total_kmers": g_total[0], "unique_kmers": g_unique[0],
+             "dropped": g_dropped[0]}
+    return uniq, lcnt, rcnt, n_unique, stats
