@@ -58,8 +58,6 @@ def _chop_with_edges(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int):
     jlen = lengths.astype(jnp.int32)[:, None]
     has_left = pos > 0
     has_right = pos < (jlen - ksize)
-    left_code = jnp.where(has_left, codes_i[:, 0:P] if ksize > 1 else codes_i,
-                          0)
     # left neighbor of window j is base j-1; right neighbor is base j+k
     lshift = jnp.concatenate(
         [jnp.zeros((N, 1), jnp.int32), codes_i[:, :P - 1]], axis=1)

@@ -60,16 +60,6 @@ class CorrectParams:
         return p
 
 
-class _Bitmap:
-    __slots__ = ("bm",)
-
-    def __init__(self, bm: np.ndarray):
-        self.bm = bm
-
-    def get(self, idx: int) -> int:
-        return (self.bm[idx >> 3] >> (7 - (idx & 7))) & 1
-
-
 def classify_regions_batch(codes: np.ndarray, lengths: np.ndarray,
                            bitmap: np.ndarray, ksize: int) -> np.ndarray:
     """Vectorized phase-1 probes: high/low bit per k-mer position.
