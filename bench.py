@@ -125,14 +125,19 @@ def measure_tpu() -> float:
     lb = jnp.asarray(lengths)
     float(np.asarray(bench_loop(cb, lb, 1)))         # compile + warm
 
-    t0 = time.perf_counter()
-    float(np.asarray(bench_loop(cb, lb, 10)))
-    d10 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(np.asarray(bench_loop(cb, lb, 2)))
-    d2 = time.perf_counter() - t0
-    per_iter = (d10 - d2) / 8
-    return batch * P / per_iter
+    # difference two iteration counts to cancel per-call dispatch overhead;
+    # take the best of two rounds (the dev tunnel's latency is noisy)
+    rates = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(np.asarray(bench_loop(cb, lb, 12)))
+        d_hi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(bench_loop(cb, lb, 2)))
+        d_lo = time.perf_counter() - t0
+        per_iter = max((d_hi - d_lo) / 10, 1e-9)
+        rates.append(batch * P / per_iter)
+    return max(rates)
 
 
 def main():
