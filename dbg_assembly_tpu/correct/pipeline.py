@@ -44,7 +44,10 @@ def load_bitmap_8bit(cz_path: str, ksize: int,
 
 
 def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
-                 fmt: int = 1) -> dict:
+                 fmt: int = 1, engine: str = "native") -> dict:
+    """engine 'native' uses the C++ batch corrector (native/
+    correct_engine.cpp, same semantics as the Python ReadCorrector —
+    cross-verified in tests); 'python' forces the reference Python path."""
     p = params.resolved()
     batch = fastq.read_batch(path, fmt="fq" if fmt == 1 else "fa",
                              strict_n=False, keep_ascii=True)
@@ -52,7 +55,6 @@ def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
     lengths = batch.lengths.astype(np.int64)
     bits = classify_regions_batch(batch.codes, batch.lengths, bitmap,
                                   p.ksize)
-    corr = ReadCorrector(bitmap, p)
 
     num_raw_reads = n
     num_raw_bases = int(lengths.sum())
@@ -64,38 +66,61 @@ def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
     one_total = 0
     multi_total = 0
 
+    if engine == "native" and n > 0:
+        from .. import native as nat
+        Lmax = batch.seqs_ascii.shape[1]
+        flat = np.ascontiguousarray(batch.seqs_ascii).reshape(-1)
+        offsets = (np.arange(n, dtype=np.int64) * Lmax)
+        ones, multis, deleteds, tls, trs = nat.correct_batch(
+            flat, offsets, lengths.astype(np.int32), bits, bitmap, p)
+        reads_mod = flat.reshape(n, Lmax)
+    else:
+        corr = ReadCorrector(bitmap, p)
+        ones = np.zeros(n, np.int32)
+        multis = np.zeros(n, np.int32)
+        deleteds = np.zeros(n, np.int32)
+        tls = np.zeros(n, np.int32)
+        trs = np.zeros(n, np.int32)
+        reads_mod = batch.seqs_ascii
+        for i in range(n):
+            L = int(lengths[i])
+            read = bytearray(batch.seqs_ascii[i, :L].tobytes())
+            if L >= p.ksize:
+                (ones[i], multis[i], deleteds[i], tls[i],
+                 trs[i]) = corr.correct_one_read(
+                    read, bits[i, :max(L - p.ksize + 1, 0)])
+            else:
+                deleteds[i] = 1
+            reads_mod[i, :L] = np.frombuffer(bytes(read), np.uint8)
+
     out = bytearray()
     for i in range(n):
         L = int(lengths[i])
         head = batch.heads[i]
         if fmt == 1 and head[:1] == b"@":
             head = b">" + head[1:]
-        read = bytearray(batch.seqs_ascii[i, :L].tobytes())
-        if L >= p.ksize:
-            one, multi, deleted, tl, tr = corr.correct_one_read(
-                read, bits[i, :max(L - p.ksize + 1, 0)])
-        else:
-            # reads shorter than k have no k-mer regions: num_hRegs == 0
-            one, multi, deleted, tl, tr = 0, 0, 1, 0, 0
+        one, multi, deleted, tl, tr = (int(ones[i]), int(multis[i]),
+                                       int(deleteds[i]), int(tls[i]),
+                                       int(trs[i]))
         score = one + multi
         final_len = L - tl - tr
         if not deleted:
             one_total += one
             multi_total += multi
+            read = reads_mod[i, tl:tl + final_len].tobytes()
             if tl > 0 or tr > 0:
-                read = read[tl:tl + final_len]
                 num_trimmed_reads += 1
                 num_trimmed_bases += tl + tr
             num_res_reads += 1
             num_res_bases += final_len
         else:
             num_deleted_reads += 1
-            read = bytearray()
+            read = b""
         out += (head + f"\tModifiedBaseNum: {score}"
                 f"\tFinalReadLength: {len(read)}"
                 f"\tLeftEndTrim: {tl}\tRightEndTrim: {tr}"
                 f"\tIsDeleted: {deleted}".encode()
-                + b"\n" + bytes(read) + b"\n")
+                + b"\n" + read + b"\n")
 
     out_path = path + ".correct.fa.gz"
     with gzip.open(out_path, "wb", compresslevel=6) as f:
@@ -109,7 +134,7 @@ def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
 
 
 def run(cz_path: str, lib_path: str, params: CorrectParams | None = None,
-        fmt: int = 1) -> list[dict]:
+        fmt: int = 1, engine: str = "native") -> list[dict]:
     from ..contig.pipeline import read_file_list
 
     if params is None:
@@ -117,7 +142,7 @@ def run(cz_path: str, lib_path: str, params: CorrectParams | None = None,
     bitmap = load_bitmap(cz_path, params.ksize)
     results = []
     for path in read_file_list(lib_path):
-        results.append(correct_file(path, bitmap, params, fmt))
+        results.append(correct_file(path, bitmap, params, fmt, engine))
     return results
 
 

@@ -13,7 +13,8 @@ import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_ROOT, "native", "build", "libdbg_native.so")
-_SRC = os.path.join(_ROOT, "native", "dbg_native.cpp")
+_SRCS = [os.path.join(_ROOT, "native", f)
+         for f in ("dbg_native.cpp", "correct_engine.cpp")]
 
 _lib = None
 
@@ -23,7 +24,8 @@ def lib() -> ctypes.CDLL:
     if _lib is not None:
         return _lib
     if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            or any(os.path.getmtime(_SO) < os.path.getmtime(s)
+                   for s in _SRCS)):
         subprocess.run(["make", "-C", os.path.join(_ROOT, "native")],
                        check=True, capture_output=True)
     _lib = ctypes.CDLL(_SO)
@@ -34,6 +36,7 @@ def lib() -> ctypes.CDLL:
     _lib.hash_layout.restype = ctypes.c_int64
     _lib.stdsort_perm_desc.restype = None
     _lib.gcc44_sort_perm_desc.restype = None
+    _lib.correct_batch.restype = None
     return _lib
 
 
@@ -68,6 +71,45 @@ def hash_layout(kmers_in_order: np.ndarray, size: int):
         occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out, int(conflicts)
+
+
+def correct_batch(reads: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
+                  bits: np.ndarray, bitmap: np.ndarray, params) -> tuple:
+    """Native 5-phase correction of a read batch IN PLACE.
+
+    reads: uint8 concatenated read bytes (modified in place);
+    offsets/lens per read; bits: [n, P] phase-1 flags (uint8, row stride =
+    bits.shape[1]); params: resolved CorrectParams.
+    Returns (one_score, multi_score, deleted, trim_left, trim_right).
+    """
+    n = len(lens)
+    one = np.zeros(n, np.int32)
+    multi = np.zeros(n, np.int32)
+    deleted = np.zeros(n, np.int32)
+    tl = np.zeros(n, np.int32)
+    tr = np.zeros(n, np.int32)
+    L = lib()
+    L.correct_batch(
+        reads.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.ascontiguousarray(offsets, np.int64).ctypes
+        .data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.ascontiguousarray(lens, np.int32).ctypes
+        .data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n),
+        np.ascontiguousarray(bits, np.uint8).ctypes
+        .data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(bits.shape[1] if bits.ndim == 2 else 0),
+        bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(params.ksize), ctypes.c_int(params.high_freq_reg_len),
+        ctypes.c_int(params.max_change), ctypes.c_int(params.further_trim),
+        ctypes.c_int64(params.max_bbt_nodes),
+        ctypes.c_int(params.min_read_len),
+        one.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        multi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        deleted.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return one, multi, deleted, tl, tr
 
 
 def stdsort_perm_desc(lens: np.ndarray) -> np.ndarray:
