@@ -71,7 +71,7 @@ def main(workdir="/tmp/ecoli_scale"):
 
     results = {}
 
-    # ---- stage 1: cleaning ----
+    # ---- stage 1: cleaning (resumable) ----
     from dbg_assembly_tpu.clean import lowqual, adapter
     ours_clean, ref_clean = [], []
     t0 = time.time()
@@ -79,12 +79,13 @@ def main(workdir="/tmp/ecoli_scale"):
         for p in (p1, p2):
             b = os.path.basename(p)
             lq = os.path.join(workdir, b + ".nonLowQual.gz")
-            lowqual.run_file(p, lq, lq[:-3] + ".stat", err_cutoff=0.01,
-                             min_read_len=75)
             ad = os.path.join(workdir, b + ".nonAdapter.gz")
-            adapter.run_file(lq, ad, ad[:-3] + ".stat",
-                             adapter_file="Both-adapter", score_cutoff=12,
-                             min_read_len=75)
+            if not os.path.exists(ad):
+                lowqual.run_file(p, lq, lq[:-3] + ".stat", err_cutoff=0.01,
+                                 min_read_len=75)
+                adapter.run_file(lq, ad, ad[:-3] + ".stat",
+                                 adapter_file="Both-adapter",
+                                 score_cutoff=12, min_read_len=75)
             ours_clean.append(ad)
     ours_t = time.time() - t0
     t0 = time.time()
@@ -105,21 +106,28 @@ def main(workdir="/tmp/ecoli_scale"):
     with open(lib, "w") as f:
         f.write("".join(p + "\n" for p in ours_clean))
     t0 = time.time()
-    kf = kmerfreq.run(lib, ksize=17, low_freq_cutoff=1)
-    note(f"kmerfreq k=17: {time.time()-t0:.1f}s "
-         f"({kf['species']} species, {kf['individuals']} kmers)")
+    if not os.path.exists(lib + ".kmer.freq.cz.len"):
+        kf = kmerfreq.run(lib, ksize=17, low_freq_cutoff=1)
+        note(f"kmerfreq k=17: {time.time()-t0:.1f}s "
+             f"({kf['species']} species, {kf['individuals']} kmers)")
+    else:
+        kf = {"cz": lib + ".kmer.freq.cz"}
+        note("kmerfreq: reusing cached table")
 
     # ---- stage 3: correction k=17 ----
     from dbg_assembly_tpu.correct import pipeline as corr
     from dbg_assembly_tpu.correct.engine import CorrectParams
     t0 = time.time()
-    golden.ref_correct(kf["cz"], lib, k=17, c=2, workdir=workdir)
+    if not os.path.exists(ours_clean[-1] + ".correct.fa.gz.ref"):
+        golden.ref_correct(kf["cz"], lib, k=17, c=2, workdir=workdir)
+        for p in ours_clean:
+            os.rename(p + ".correct.fa.gz", p + ".correct.fa.gz.ref")
+            os.rename(p + ".correct.stat", p + ".correct.stat.ref")
     ref_t = time.time() - t0
-    for p in ours_clean:
-        os.rename(p + ".correct.fa.gz", p + ".correct.fa.gz.ref")
-        os.rename(p + ".correct.stat", p + ".correct.stat.ref")
     t0 = time.time()
-    corr.run(kf["cz"], lib, CorrectParams(ksize=17, max_change=2), fmt=1)
+    if not all(os.path.exists(p + ".correct.fa.gz") for p in ours_clean):
+        corr.run(kf["cz"], lib, CorrectParams(ksize=17, max_change=2),
+                 fmt=1)
     ours_t = time.time() - t0
     ok = all(gz_eq(p + ".correct.fa.gz.ref", p + ".correct.fa.gz")
              for p in ours_clean)
@@ -141,8 +149,11 @@ def main(workdir="/tmp/ecoli_scale"):
     ref_t = time.time() - t0
     ours_prefix = os.path.join(workdir, "ours_asm")
     t0 = time.time()
+    # init_hash_size must match golden.ref_debruijn_contig's -i 0.01 —
+    # the hash size shapes slot ordering and thus every order-dependent
+    # output
     ctg.run(corr_lib, ours_prefix, ksize=31, fmt=2, max_read_len=250,
-            params=AssembleParams(ksize=31, init_hash_size=0.1))
+            params=AssembleParams(ksize=31, init_hash_size=0.01))
     ours_t = time.time() - t0
     ok = all(f_eq(ref_prefix + s, ours_prefix + s) for s in
              (".contig.seq.fa", ".contig.seq.depth", ".contig.small.fa",
