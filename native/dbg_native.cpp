@@ -122,13 +122,16 @@ static inline bool cmp(const El& a, const El& b) { return b.len < a.len; }
 static const int64_t S_threshold = 16;
 
 static El median(const El& a, const El& b, const El& c) {
+    // exact SGI/GCC __median branch order (stl_algo.h) — note the else
+    // chain returns a, c, b (verified against the shipped binary via the
+    // link_scaffold singleton oracle, tools/sort_oracle_fuzz.py)
     if (cmp(a, b)) {
         if (cmp(b, c)) return b;
         else if (cmp(a, c)) return c;
         else return a;
-    } else if (cmp(a, c)) return c;
-    else if (cmp(b, c)) return b;
-    else return a;
+    } else if (cmp(a, c)) return a;
+    else if (cmp(b, c)) return c;
+    else return b;
 }
 
 static int64_t unguarded_partition(El* v, int64_t first, int64_t last,
