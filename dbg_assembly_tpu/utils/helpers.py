@@ -105,38 +105,46 @@ def filter_unpaired_reads(reads1: str, reads2: str,
 
 def rev_com_seq_file(in_path: str, out_path: str) -> None:
     """Parity: link_scaffold/rev_com_seq.pl — reverse complement every
-    record of a FASTA file (N preserved)."""
-    comp = bytes.maketrans(b"ACGTacgtNn", b"TGCAtgcaNn")
-    with open(in_path, "rb") as f, open(out_path, "wb") as o:
-        head = None
-        seq = []
+    record, keyed/sorted by the first header token (Perl `sort keys`,
+    duplicates overwrite), header rewritten to `>{id}_rc`, sequence
+    wrapped at 50 chars (Display_seq), only AGCTagct complemented (N and
+    other letters preserved; rev_com_seq.pl tr/AGCTagct/TCGAtcga/)."""
+    comp = bytes.maketrans(b"AGCTagct", b"TCGAtcga")
+    records: dict[bytes, bytes] = {}
+    with open(in_path, "rb") as f:
+        name = None
+        seq: list[bytes] = []
         for line in f:
             line = line.rstrip(b"\n")
             if line[:1] == b">":
-                if head is not None:
-                    o.write(head + b"\n"
-                            + b"".join(seq).translate(comp)[::-1] + b"\n")
-                head = line
+                if name is not None:
+                    records[name] = b"".join(seq)
+                head = line[1:]
+                toks = head.split()
+                name = toks[0] if toks else b""
                 seq = []
             else:
-                seq.append(line)
-        if head is not None:
-            o.write(head + b"\n" + b"".join(seq).translate(comp)[::-1]
-                    + b"\n")
+                seq.append(b"".join(line.split()))
+        if name is not None:
+            records[name] = b"".join(seq)
+    with open(out_path, "wb") as o:
+        for name in sorted(records):
+            rc = records[name].translate(comp)[::-1]
+            body = b"".join(rc[i:i + 50] + b"\n"
+                            for i in range(0, len(rc), 50)) or b"\n"
+            o.write(b">" + name + b"_rc\n" + body)
 
 
 def split_libfile(lib_path: str) -> list[str]:
-    """Parity: correct_error/split_libfile.pl — one single-file .lib per
-    input line, named <file>.lib."""
+    """Parity: correct_error/split_libfile.pl — one output file per input
+    LINE (including blank lines), named `<lib>.1`, `<lib>.2`, ... each
+    holding that line verbatim."""
     out = []
     with open(lib_path) as f:
-        for line in f:
-            name = line.strip()
-            if not name:
-                continue
-            p = name + ".lib"
+        for number, line in enumerate(f, 1):
+            p = f"{lib_path}.{number}"
             with open(p, "w") as o:
-                o.write(name + "\n")
+                o.write(line)
             out.append(p)
     return out
 

@@ -36,8 +36,12 @@ def _revcomp(s: str) -> str:
     return s.translate(str.maketrans("ACGTacgtNn", "TGCAtgcaNn"))[::-1]
 
 
-def _wrap(s: str, width: int = 100) -> str:
-    return "\n".join(s[i:i + width] for i in range(0, len(s), width))
+def _disp(s: str, width: int = 100) -> str:
+    """Perl Display_seq(\\$seq, 100) followed by print "$seq\\n": each
+    width-chunk newline-terminated (empty seq -> lone newline), plus the
+    trailing print newline — records end with a blank line."""
+    wrapped = "".join(s[i:i + width] + "\n" for i in range(0, len(s), width))
+    return (wrapped or "\n") + "\n"
 
 
 def run(psl_best: str, scafftig_fa: str, utg_fa: str,
@@ -151,7 +155,7 @@ def run(psl_best: str, scafftig_fa: str, utg_fa: str,
         seq_f.write(f">{seq_id_prefix}{seq_id}     Length: "
                     f"{len(final_seq)}     Category: "
                     f"Merged_illumina_pacbio      Source: {tname}{names}\n"
-                    + _wrap(final_seq) + "\n")
+                    + _disp(final_seq))
         pos_f.write("".join(pos_out))
 
     for utg_id, useq in utg.items():
@@ -163,7 +167,7 @@ def run(psl_best: str, scafftig_fa: str, utg_fa: str,
                         f"{ulen}\t{ulen}\t{utg_id}\t+\t{ulen}\t{useq}\n")
             seq_f.write(f">{seq_id_prefix}{seq_id}    Length: {ulen}    "
                         f"Category: Derived_from_pacbio     "
-                        f"Source: {utg_id}\n" + _wrap(useq) + "\n")
+                        f"Source: {utg_id}\n" + _disp(useq))
     for sct_id, sseq in scafftig.items():
         slen = len(sseq)
         if sct_id not in aligned_sct and slen >= 250:
@@ -173,7 +177,7 @@ def run(psl_best: str, scafftig_fa: str, utg_fa: str,
                         f"{slen}\t{slen}\t{sct_id}\t+\t{slen}\t{sseq}\n")
             seq_f.write(f">{seq_id_prefix}{seq_id}     Length: {slen}    "
                         f"Category: Derived_from_illumina     "
-                        f"Source: {sct_id}\n" + _wrap(sseq) + "\n")
+                        f"Source: {sct_id}\n" + _disp(sseq))
     seq_f.close()
     pos_f.close()
     return stats
