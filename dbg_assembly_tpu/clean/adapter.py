@@ -183,7 +183,7 @@ def run_file(in_path: str, out_path: str, stat_path: str,
              adapter_file: str = "Both-adapter", score_cutoff: int = 12,
              min_read_len: int = 75, use_rc: bool = False) -> dict:
     """File-level driver (CLI parity: clean_adapter <in> <out> <stat>)."""
-    import gzip
+
     from ..io import fastq
 
     if adapter_file in DEFAULT_ADAPTERS:
@@ -225,8 +225,7 @@ def run_file(in_path: str, out_path: str, stat_path: str,
         l_ = int(final_len[i])
         out += head + b"\n" + seq[i, :l_].tobytes() + b"\n+\n" \
             + batch.quals[i, :l_].tobytes() + b"\n"
-    with gzip.open(out_path, "wb", compresslevel=6) as f:
-        f.write(bytes(out))
+    fastq.gz_write_bytes(out_path, bytes(out))
 
     statio.write_clean_adapter_stat(stat_path, raw_reads, raw_bases,
                                     trimmed_reads, trimmed_bases,

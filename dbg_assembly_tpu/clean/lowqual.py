@@ -135,7 +135,7 @@ def run_file(in_path: str, out_path: str, stat_path: str,
              err_cutoff: float = 0.001, min_read_len: int = 75,
              quality_shift: int = 33) -> dict:
     """File-level driver (CLI parity: clean_lowqual <in> <out> <stat>)."""
-    import gzip
+
     from ..io import fastq
 
     batch = fastq.read_batch(in_path, fmt="fq", strict_n=True,
@@ -169,8 +169,7 @@ def run_file(in_path: str, out_path: str, stat_path: str,
         l_ = int(res.final_len[i])
         out += head + b"\n" + seq[i, s:s + l_].tobytes() + b"\n+\n" \
             + quals[i, s:s + l_].tobytes() + b"\n"
-    with gzip.open(out_path, "wb", compresslevel=6) as f:
-        f.write(bytes(out))
+    fastq.gz_write_bytes(out_path, bytes(out))
 
     statio.write_clean_lowqual_stat(stat_path, raw_reads, raw_bases,
                                     lowqual_reads, lowqual_bases,

@@ -117,6 +117,18 @@ def read_batch(path: str, fmt: str | None = None, strict_n: bool = False,
                      seqs_ascii=aarr)
 
 
+def gz_write_bytes(path: str, data: bytes, level: int = 1) -> None:
+    """One-shot gzip write.  Level 1 by default: all our .gz artifacts are
+    pipeline interchange compared/consumed on DECOMPRESSED bytes, so the
+    container level is a pure speed knob (level 1 deflates ~4x faster than
+    the default 6 for ~10% larger files)."""
+    import zlib
+    co = zlib.compressobj(level, zlib.DEFLATED, 31)
+    with open(path, "wb") as f:
+        f.write(co.compress(data))
+        f.write(co.flush())
+
+
 def write_fastq_gz(path: str, heads: list, seqs: list, quals: list,
                    level: int = 6) -> None:
     """Write one-line FASTQ records; the '+' separator line is bare, matching
