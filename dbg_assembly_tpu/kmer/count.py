@@ -105,9 +105,18 @@ def count_stats(sorted_kmers: jnp.ndarray, max_freq: int = 65535):
     counts = jnp.where(first, nxt - idx, 0)
     n_unique = jnp.sum(first.astype(jnp.int64))
     n_valid = jnp.sum(valid.astype(jnp.int64))
+    # spectrum histogram WITHOUT scatter-add (a 1-elem-per-update scatter of
+    # the whole k-mer stream is ~10x the cost of everything else on TPU):
+    # sort the capped run lengths and difference bin edges found by
+    # vectorized binary search.  Non-first slots carry count 0 -> bin 0,
+    # which the reference spectrum never populates (species counts are >=1),
+    # so bin 0 is forced to 0.
     capped = jnp.clip(counts, 0, max_freq).astype(jnp.int32)
-    spectrum = jnp.zeros(max_freq + 1, jnp.int64).at[capped].add(
-        jnp.where(first, 1, 0).astype(jnp.int64))
+    sc = jnp.sort(capped)
+    bins = jnp.arange(max_freq + 2, dtype=jnp.int32)
+    edges = jnp.searchsorted(sc, bins, side="left")
+    spectrum = (edges[1:] - edges[:-1]).astype(jnp.int64)
+    spectrum = spectrum.at[0].set(0)
     return spectrum, n_unique, n_valid
 
 
