@@ -19,6 +19,7 @@ map_pair.cpp:50-66, link_scaffold.cpp:89-104, main_parallel_senior.cpp:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -372,8 +373,19 @@ COMMANDS = {
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    # backend selection must happen IN-PROCESS before first jax backend use
+    # (JAX_PLATFORMS may be pinned by site configuration); --platform or
+    # DBG_PLATFORM picks cpu/tpu explicitly, e.g. for host-only stages.
+    plat = os.environ.get("DBG_PLATFORM")
+    if len(argv) >= 2 and argv[0] == "--platform":
+        plat = argv[1]
+        argv = argv[2:]
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: python -m dbg_assembly_tpu <command> [args]\n"
+        print("usage: python -m dbg_assembly_tpu [--platform cpu|tpu] "
+              "<command> [args]\n"
               "commands: " + " ".join(sorted(COMMANDS)))
         return 0
     cmd = argv[0]

@@ -36,6 +36,11 @@ import jax.numpy as jnp
 
 from .. import dna
 
+
+def _force_py() -> bool:
+    import os
+    return os.environ.get("DBG_PY_INGEST") == "1"
+
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -97,23 +102,95 @@ def _aggregate_batch(codes, lengths, ksize, base_index):
 
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     first = first & (sk != SENTINEL)
-    seg_id = jnp.cumsum(first.astype(jnp.int64)) - 1        # [n], -1 for none
     n_unique = jnp.sum(first.astype(jnp.int64))
+    is_valid = (sk != SENTINEL)
+    n_valid = jnp.sum(is_valid.astype(jnp.int64))
+
+    # All segment reductions as GATHERS (no scatter — a one-update-per-
+    # element scatter over n segments is pathologically slow on TPU and on
+    # the XLA CPU backend):
+    #   * run starts compacted to the front by a stable argsort of ~first;
+    #   * run ends = next run start (last valid run ends at n_valid since
+    #     SENTINEL rows sort to the tail);
+    #   * edge-counter sums = cumsum differences at run boundaries;
+    #   * first_idx = sidx at the run start (stable sort keeps stream order
+    #     inside each run, and stream_idx is increasing).
+    pos = jnp.arange(n, dtype=jnp.int64)
+    corder = jnp.argsort(~first, stable=True)
+    starts = pos[corder]                      # [n]; first n_unique are starts
+    next_starts = jnp.concatenate([starts[1:], jnp.array([n], jnp.int64)])
+    ends = jnp.where(pos == n_unique - 1, n_valid, next_starts)
+    ends = jnp.where(pos < n_unique, ends, starts)      # padding rows: empty
 
     lhot = (sl[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
     rhot = (sr[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
-    is_valid = (sk != SENTINEL)
     lhot = jnp.where(is_valid[:, None], lhot, 0)
     rhot = jnp.where(is_valid[:, None], rhot, 0)
-    seg = jnp.maximum(seg_id, 0).astype(jnp.int32)
-    lcnt = jax.ops.segment_sum(lhot, seg, num_segments=n)
-    rcnt = jax.ops.segment_sum(rhot, seg, num_segments=n)
-    first_idx = jax.ops.segment_min(jnp.where(is_valid, sidx, jnp.int64(2**62)),
-                                    seg, num_segments=n)
-    uniq = jax.ops.segment_min(jnp.where(is_valid, sk, SENTINEL), seg,
-                               num_segments=n)
-    n_valid = jnp.sum(is_valid.astype(jnp.int64))
+    zero = jnp.zeros((1, 4), jnp.int32)
+    cum_l = jnp.concatenate([zero, jnp.cumsum(lhot, axis=0)], axis=0)
+    cum_r = jnp.concatenate([zero, jnp.cumsum(rhot, axis=0)], axis=0)
+    lcnt = cum_l[ends] - cum_l[starts]
+    rcnt = cum_r[ends] - cum_r[starts]
+    uniq = jnp.where(pos < n_unique, sk[starts], SENTINEL)
+    first_idx = jnp.where(pos < n_unique, sidx[starts], jnp.int64(2 ** 62))
     return uniq, lcnt, rcnt, first_idx, n_unique, n_valid
+
+
+def _aggregate_batch_np(codes: np.ndarray, lengths: np.ndarray, ksize: int,
+                        base_index: int):
+    """numpy twin of _aggregate_batch for the CPU backend: numpy's stable
+    integer argsort is a radix sort (~10x the XLA CPU comparison sort) and
+    np.add.reduceat does the segment sums in one C pass.  Returns compact
+    (uniq, lcnt, rcnt, first_idx, n_valid)."""
+    N, L = codes.shape
+    P = L - ksize + 1
+    kmers = dna.rolling_kmers(np.asarray(codes), ksize)
+    rc = dna.revcomp_kbit(kmers, ksize)
+    use_fwd = kmers <= rc
+    can = np.where(use_fwd, kmers, rc)
+    codes_i = codes.astype(np.int32)
+    pos = np.arange(P, dtype=np.int32)[None, :]
+    jlen = lengths.astype(np.int32)[:, None]
+    has_left = pos > 0
+    has_right = pos < (jlen - ksize)
+    lshift = np.concatenate(
+        [np.zeros((N, 1), np.int32), codes_i[:, :P - 1]], axis=1)
+    rshift = codes_i[:, ksize:ksize + P] if ksize + P <= L else \
+        np.concatenate([codes_i[:, ksize:],
+                        np.zeros((N, ksize + P - L), np.int32)], axis=1)
+    left = np.where(use_fwd,
+                    np.where(has_left, lshift, 4),
+                    np.where(has_right, 3 - rshift, 4))
+    right = np.where(use_fwd,
+                     np.where(has_right, rshift, 4),
+                     np.where(has_left, 3 - lshift, 4))
+    valid = pos < (jlen - ksize + 1)
+    flat_k = np.where(valid, can, SENTINEL).reshape(-1)
+    n_valid = int(valid.sum())
+
+    order = np.argsort(flat_k, kind="stable")
+    sk = flat_k[order]
+    sl = left.reshape(-1)[order]
+    sr = right.reshape(-1)[order]
+    first = np.ones(len(sk), bool)
+    first[1:] = sk[1:] != sk[:-1]
+    first &= sk != SENTINEL
+    starts = np.flatnonzero(first)
+    if len(starts) == 0:
+        return (np.zeros(0, np.uint64), np.zeros((0, 4), np.int32),
+                np.zeros((0, 4), np.int32), np.zeros(0, np.int64), n_valid)
+    uniq = sk[starts]
+    vmask = sk != SENTINEL
+    lcnt = np.empty((len(starts), 4), np.int32)
+    rcnt = np.empty((len(starts), 4), np.int32)
+    for b in range(4):
+        lcnt[:, b] = np.add.reduceat(
+            ((sl == b) & vmask).astype(np.int32), starts)
+        rcnt[:, b] = np.add.reduceat(
+            ((sr == b) & vmask).astype(np.int32), starts)
+    # stable sort keeps stream order inside each run -> run head is the min
+    first_idx = base_index + order[starts].astype(np.int64)
+    return uniq, lcnt, rcnt, first_idx, n_valid
 
 
 @dataclass
@@ -160,6 +237,7 @@ class GraphBuilder:
         self.stream_pos = 0       # global k-mer position counter
         self.total_kmers = 0
         self.total_reads = 0
+        self._native = None
 
     def add(self, codes: np.ndarray, lengths: np.ndarray) -> None:
         if codes.shape[1] > self.max_read_len:
@@ -179,14 +257,30 @@ class GraphBuilder:
             lb = lb[keep]
             if len(cb) == 0:
                 continue
-            uniq, lcnt, rcnt, fidx, n_uniq, n_valid = _aggregate_batch(
-                jnp.asarray(cb), jnp.asarray(lb), k,
-                jnp.int64(self.stream_pos))
-            n_uniq = int(n_uniq)
-            self.parts.append((np.asarray(uniq[:n_uniq]),
-                               np.asarray(lcnt[:n_uniq]),
-                               np.asarray(rcnt[:n_uniq]),
-                               np.asarray(fidx[:n_uniq])))
+            if jax.default_backend() == "cpu" and not _force_py():
+                # native streaming table (ingest_engine.cpp): the host twin
+                # of the device kernel for CPU-backend runs
+                if self._native is None:
+                    from .. import native
+                    self._native = native.NativeIngest(k)
+                self._native.add(cb, lb, self.stream_pos)
+                P = cb.shape[1] - k + 1
+                self.stream_pos += len(cb) * P
+                self.total_reads += int(keep.sum())
+                continue
+            if jax.default_backend() == "cpu":
+                uniq, lcnt, rcnt, fidx, n_valid = _aggregate_batch_np(
+                    np.asarray(cb), np.asarray(lb), k, self.stream_pos)
+                self.parts.append((uniq, lcnt, rcnt, fidx))
+            else:
+                uniq, lcnt, rcnt, fidx, n_uniq, n_valid = _aggregate_batch(
+                    jnp.asarray(cb), jnp.asarray(lb), k,
+                    jnp.int64(self.stream_pos))
+                n_uniq = int(n_uniq)
+                self.parts.append((np.asarray(uniq[:n_uniq]),
+                                   np.asarray(lcnt[:n_uniq]),
+                                   np.asarray(rcnt[:n_uniq]),
+                                   np.asarray(fidx[:n_uniq])))
             P = cb.shape[1] - k + 1
             self.stream_pos += len(cb) * P
             self.total_kmers += int(n_valid)
@@ -195,6 +289,12 @@ class GraphBuilder:
                 self.parts = _merge_parts(self.parts)
 
     def finalize(self) -> NodeTable:
+        if self._native is not None:
+            kmers, lcnt, rcnt, fidx, total = self._native.extract()
+            self._native.close()
+            self._native = None
+            return NodeTable(kmers, lcnt, rcnt, fidx, total,
+                             self.total_reads)
         if not self.parts:
             return NodeTable(np.zeros(0, np.uint64), np.zeros((0, 4), np.int32),
                              np.zeros((0, 4), np.int32), np.zeros(0, np.int64),

@@ -742,6 +742,30 @@ class RefAssembler:
 
     # ----------------------------------------------------------------- main
     def run(self, prefix: str) -> AssembleStats:
+        import os
+        if os.environ.get("DBG_PY_ASSEMBLE") != "1":
+            return self.run_native(prefix)
+        return self.run_python(prefix)
+
+    def run_native(self, prefix: str) -> AssembleStats:
+        """Native engine (native/assemble_engine.cpp): same replay at
+        reference-binary speed.  This Python class remains the readable
+        specification; DBG_PY_ASSEMBLE=1 switches back to it."""
+        p = self.p
+        lcnt = np.ascontiguousarray(self.lcnt, np.int32)
+        rcnt = np.ascontiguousarray(self.rcnt, np.int32)
+        s = native.assemble_run(self.kmer, lcnt, rcnt, self.n_nodes,
+                                self.slot_of[:self.n_nodes], self.size,
+                                self.slot_order, prefix, p)
+        st = self.stats
+        (st.total_nodes, st.deleted_lowfreq, st.linear_nodes,
+         st.tip_candidates, st.branch_candidates, st.tips_removed,
+         st.tip_len_removed, st.lowedges_removed, st.lowedge_len_removed,
+         st.bubbles_removed, st.bubble_len_removed, st.contig_num,
+         st.contig_len, st.small_num, st.small_len) = (int(x) for x in s)
+        return st
+
+    def run_python(self, prefix: str) -> AssembleStats:
         p = self.p
         self.calculate_kmer_links()
         self.write_kmer_freq(prefix + ".contig.kmer.freq")

@@ -14,7 +14,8 @@ import numpy as np
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_ROOT, "native", "build", "libdbg_native.so")
 _SRCS = [os.path.join(_ROOT, "native", f)
-         for f in ("dbg_native.cpp", "correct_engine.cpp")]
+         for f in ("dbg_native.cpp", "correct_engine.cpp",
+                   "assemble_engine.cpp", "ingest_engine.cpp")]
 
 _lib = None
 
@@ -37,7 +38,67 @@ def lib() -> ctypes.CDLL:
     _lib.stdsort_perm_desc.restype = None
     _lib.gcc44_sort_perm_desc.restype = None
     _lib.correct_batch.restype = None
+    _lib.assemble_run.restype = None
+    _lib.ingest_create.restype = ctypes.c_void_p
+    _lib.ingest_create.argtypes = [ctypes.c_int, ctypes.c_uint64]
+    _lib.ingest_add.restype = None
+    _lib.ingest_add.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_uint8),
+                                ctypes.c_int64, ctypes.c_int,
+                                ctypes.POINTER(ctypes.c_int32),
+                                ctypes.c_int64]
+    _lib.ingest_size.restype = ctypes.c_int64
+    _lib.ingest_size.argtypes = [ctypes.c_void_p]
+    _lib.ingest_total.restype = ctypes.c_int64
+    _lib.ingest_total.argtypes = [ctypes.c_void_p]
+    _lib.ingest_extract.restype = None
+    _lib.ingest_free.restype = None
+    _lib.ingest_free.argtypes = [ctypes.c_void_p]
     return _lib
+
+
+class NativeIngest:
+    """Streaming native chop+aggregate table (native/ingest_engine.cpp)."""
+
+    def __init__(self, ksize: int, capacity_hint: int = 1 << 20):
+        self._h = lib().ingest_create(ksize, capacity_hint)
+
+    def add(self, codes: np.ndarray, lengths: np.ndarray,
+            base_index: int) -> None:
+        c = np.ascontiguousarray(codes, np.uint8)
+        ln = np.ascontiguousarray(lengths, np.int32)
+        lib().ingest_add(self._h,
+                         c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         ctypes.c_int64(c.shape[0]),
+                         ctypes.c_int(c.shape[1]),
+                         ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                         ctypes.c_int64(base_index))
+
+    def extract(self):
+        n = int(lib().ingest_size(self._h))
+        total = int(lib().ingest_total(self._h))
+        kmers = np.empty(n, np.uint64)
+        lcnt = np.empty((n, 4), np.int32)
+        rcnt = np.empty((n, 4), np.int32)
+        fidx = np.empty(n, np.int64)
+        lib().ingest_extract(
+            ctypes.c_void_p(self._h),
+            kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            lcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return kmers, lcnt, rcnt, fidx, total
+
+    def close(self):
+        if self._h:
+            lib().ingest_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def jenkins64(x) -> np.ndarray:
@@ -110,6 +171,44 @@ def correct_batch(reads: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
         tl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         tr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return one, multi, deleted, tl, tr
+
+
+def assemble_run(kmer: np.ndarray, lcnt: np.ndarray, rcnt: np.ndarray,
+                 n_nodes: int, slot_of: np.ndarray, hash_size: int,
+                 slot_order: np.ndarray, prefix: str, params) -> np.ndarray:
+    """Full native pruning+readout (native/assemble_engine.cpp); writes the
+    eight .contig.* artifacts and returns the int64[15] stats vector.
+    lcnt/rcnt are mutated in place (dangling counters zeroed), matching the
+    Python path."""
+    p = params
+    stats = np.zeros(15, np.int64)
+    L = lib()
+    L.assemble_run(
+        np.ascontiguousarray(kmer, np.uint64).ctypes
+        .data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n_nodes),
+        np.ascontiguousarray(slot_of, np.int64).ctypes
+        .data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_uint64(hash_size),
+        np.ascontiguousarray(slot_order, np.int64).ctypes
+        .data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int(p.ksize), ctypes.c_int(p.kmer_freq_cutoff),
+        ctypes.c_int(int(p.is_remove_tip)),
+        ctypes.c_int(p.tip_len_cutoff),
+        ctypes.c_double(p.tip_depth_cutoff),
+        ctypes.c_int(int(p.is_remove_lowedge)),
+        ctypes.c_int(p.lowedge_len_cutoff),
+        ctypes.c_double(p.lowedge_depth_cutoff),
+        ctypes.c_int(int(p.is_remove_bubble)),
+        ctypes.c_int(p.bubble_len_cutoff),
+        ctypes.c_double(p.bubble_len_diff_rate),
+        ctypes.c_double(p.bubble_base_diff_rate),
+        ctypes.c_int(p.contig_len_cutoff),
+        prefix.encode(),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return stats
 
 
 def stdsort_perm_desc(lens: np.ndarray) -> np.ndarray:

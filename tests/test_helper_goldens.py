@@ -258,7 +258,10 @@ def test_merge_assembly_matches_perl(tmp_path):
 
     def split_sections(seq_path, pos_path):
         txt = open(seq_path).read()
-        recs = ["\n>" + r for r in txt.split("\n>")]
+        # split eats one newline mid-file while the final record keeps its
+        # trailing blank line — normalize trailing newlines per record
+        # (which record is last depends on Perl hash order)
+        recs = ["\n>" + r.rstrip("\n") + "\n" for r in txt.split("\n>")]
         recs[0] = recs[0][1:]
         aligned, rest = [], []
         for r in recs:
