@@ -15,7 +15,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_ROOT, "native", "build", "libdbg_native.so")
 _SRCS = [os.path.join(_ROOT, "native", f)
          for f in ("dbg_native.cpp", "correct_engine.cpp",
-                   "assemble_engine.cpp", "ingest_engine.cpp")]
+                   "assemble_engine.cpp", "ingest_engine.cpp", "map_engine.cpp")]
 
 _lib = None
 
@@ -54,6 +54,16 @@ def lib() -> ctypes.CDLL:
     _lib.ingest_extract.restype = None
     _lib.ingest_free.restype = None
     _lib.ingest_free.argtypes = [ctypes.c_void_p]
+    _lib.mapidx_create.restype = ctypes.c_void_p
+    _lib.mapidx_create.argtypes = [ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_uint8),
+                                   ctypes.POINTER(ctypes.c_int64),
+                                   ctypes.c_int64]
+    _lib.mapidx_free.restype = None
+    _lib.mapidx_free.argtypes = [ctypes.c_void_p]
+    _lib.mapidx_nkmers.restype = ctypes.c_int64
+    _lib.mapidx_nkmers.argtypes = [ctypes.c_void_p]
+    _lib.mapidx_map.restype = None
     return _lib
 
 
@@ -92,6 +102,62 @@ class NativeIngest:
     def close(self):
         if self._h:
             lib().ingest_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeMapIndex:
+    """Positional contig index + seed-and-extend mapper
+    (native/map_engine.cpp)."""
+
+    def __init__(self, ksize: int, concat: np.ndarray, offsets: np.ndarray):
+        c = np.ascontiguousarray(concat, np.uint8)
+        off = np.ascontiguousarray(offsets, np.int64)
+        self._h = lib().mapidx_create(
+            ksize,
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(off) - 1))
+
+    def map(self, codes: np.ndarray, ascii_seq: np.ndarray,
+            lengths: np.ndarray, search_start: np.ndarray,
+            seed_kmer_num: int, min_identity: float):
+        c = np.ascontiguousarray(codes, np.uint8)
+        a = np.ascontiguousarray(ascii_seq, np.uint8)
+        ln = np.ascontiguousarray(lengths, np.int32)
+        ss = np.ascontiguousarray(search_start, np.int64)
+        N, L = c.shape
+        mapped = np.zeros(N, np.uint8)
+        cid = np.zeros(N, np.int32)
+        rs = np.zeros(N, np.int32)
+        re_ = np.zeros(N, np.int32)
+        cs = np.zeros(N, np.int32)
+        ce = np.zeros(N, np.int32)
+        dr = np.zeros(N, np.uint8)
+        ident = np.zeros(N, np.float32)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        lib().mapidx_map(
+            ctypes.c_void_p(self._h), c.ctypes.data_as(u8),
+            a.ctypes.data_as(u8), ctypes.c_int64(N), ctypes.c_int(L),
+            ln.ctypes.data_as(i32),
+            ss.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int(seed_kmer_num), ctypes.c_double(min_identity),
+            mapped.ctypes.data_as(u8), cid.ctypes.data_as(i32),
+            rs.ctypes.data_as(i32), re_.ctypes.data_as(i32),
+            cs.ctypes.data_as(i32), ce.ctypes.data_as(i32),
+            dr.ctypes.data_as(u8),
+            ident.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return mapped, cid, rs, re_, cs, ce, dr, ident
+
+    def close(self):
+        if self._h:
+            lib().mapidx_free(self._h)
             self._h = None
 
     def __del__(self):

@@ -41,10 +41,33 @@ class ContigIndex:
     concat: np.ndarray    # [sum len] uint8 ASCII
     offsets: np.ndarray   # [n_contigs + 1] int64
     lengths: np.ndarray   # [n_contigs] int64
+    native: object = None  # NativeMapIndex when the native engine is active
+
+
+def _force_py() -> bool:
+    import os
+    return os.environ.get("DBG_PY_MAP") == "1"
 
 
 def build(contig_seqs: list[bytes], ksize: int) -> ContigIndex:
     """contig_seqs: raw ASCII per contig slot ('' allowed, skipped)."""
+    if not _force_py():
+        from .. import native
+        lengths = np.array([len(s) for s in contig_seqs], dtype=np.int64)
+        offsets = np.zeros(len(contig_seqs) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        concat = np.frombuffer(b"".join(contig_seqs), dtype=np.uint8).copy() \
+            if contig_seqs else np.zeros(0, np.uint8)
+        nmi = native.NativeMapIndex(ksize, concat, offsets)
+        z64 = np.zeros(0, np.uint64)
+        z32 = np.zeros(0, np.int32)
+        z8 = np.zeros(0, np.uint8)
+        return ContigIndex(z64, z32, z32, z8, z8, ksize, concat, offsets,
+                           lengths, native=nmi)
+    return _build_py(contig_seqs, ksize)
+
+
+def _build_py(contig_seqs: list[bytes], ksize: int) -> ContigIndex:
     all_k, all_id, all_pos, all_dir = [], [], [], []
     lengths = np.array([len(s) for s in contig_seqs], dtype=np.int64)
     offsets = np.zeros(len(contig_seqs) + 1, dtype=np.int64)
@@ -127,6 +150,16 @@ def map_reads(ix: ContigIndex, codes: np.ndarray, ascii_seq: np.ndarray,
     search_start: scalar or per-read array of 1-based positions to begin the
     seed scan (map_reads' second-alignment pass uses align_read_end+1,
     map_reads.cpp:484)."""
+    if ix.native is not None:
+        N = codes.shape[0]
+        ss = np.asarray(search_start)
+        if ss.ndim == 0:
+            ss = np.full(N, int(ss), np.int64)
+        mapped, cid, rs, re_, cs, ce, dr, ident = ix.native.map(
+            codes, ascii_seq, lengths, ss, seed_kmer_num, min_identity)
+        return MapResult(mapped=mapped.astype(bool), contig=cid,
+                         read_start=rs, read_end=re_, contig_start=cs,
+                         contig_end=ce, direct=dr, identity=ident)
     k = ix.ksize
     S = seed_kmer_num
     N, L = codes.shape
