@@ -57,7 +57,7 @@ def read_cz_bits(path: str, ksize: int) -> np.ndarray:
     return bitmap
 
 
-def write_cz_bytes(path: str, freqs: np.ndarray, level: int = 6) -> None:
+def write_cz_bytes(path: str, freqs: np.ndarray, level: int = 1) -> None:
     """Write an 8-bit-per-kmer table (freq saturated to 255), blocks of 8 MiB
     source bytes (parity correct_error/main.cpp:48,190-194)."""
     block_bytes = SRC_BLOCK_KMERS

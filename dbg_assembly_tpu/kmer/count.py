@@ -149,15 +149,34 @@ def merge_counted(parts: list[tuple[np.ndarray, np.ndarray]]):
 
 
 class KmerCounter:
-    """Streaming canonical k-mer counter over read batches."""
+    """Streaming canonical k-mer counter over read batches.
+
+    On a CPU default backend the batches feed the native streaming table
+    (native/ingest_engine.cpp, DBG_PY_INGEST=1 reverts to the jax path);
+    on device backends the jax chop+sort+run-length kernel counts."""
 
     def __init__(self, ksize: int, batch_reads: int = 200_000):
         self.ksize = ksize
         self.batch_reads = batch_reads
         self.parts: list[tuple[np.ndarray, np.ndarray]] = []
         self.total_kmers = 0
+        self._native = None
+
+    def _use_native(self) -> bool:
+        import os
+        import jax
+        return (jax.default_backend() == "cpu"
+                and os.environ.get("DBG_PY_INGEST") != "1")
 
     def add(self, codes: np.ndarray, lengths: np.ndarray) -> None:
+        if self._use_native():
+            if self._native is None:
+                from .. import native
+                self._native = native.NativeIngest(self.ksize)
+            for off in range(0, len(codes), self.batch_reads):
+                self._native.add(codes[off:off + self.batch_reads],
+                                 lengths[off:off + self.batch_reads], 0)
+            return
         for off in range(0, len(codes), self.batch_reads):
             u, c, t = count_batch(codes[off:off + self.batch_reads],
                                   lengths[off:off + self.batch_reads],
@@ -169,6 +188,11 @@ class KmerCounter:
 
     def finalize(self):
         """Returns (unique_sorted, counts, total_kmers)."""
+        if self._native is not None:
+            u, c, total = self._native.extract_counts()
+            self._native.close()
+            self._native = None
+            return u, c.astype(np.int64), total
         if not self.parts:
             return (np.zeros(0, np.uint64), np.zeros(0, np.int64), 0)
         self.parts = merge_counted(self.parts)

@@ -99,6 +99,17 @@ class NativeIngest:
             fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return kmers, lcnt, rcnt, fidx, total
 
+    def extract_counts(self):
+        n = int(lib().ingest_size(self._h))
+        total = int(lib().ingest_total(self._h))
+        kmers = np.empty(n, np.uint64)
+        counts = np.empty(n, np.int32)
+        lib().ingest_extract_counts(
+            ctypes.c_void_p(self._h),
+            kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return kmers, counts, total
+
     def close(self):
         if self._h:
             lib().ingest_free(self._h)

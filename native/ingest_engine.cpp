@@ -23,6 +23,7 @@ namespace ingest {
 struct Node {
     uint64_t kmer;
     int64_t first_idx;
+    int32_t count;       // occurrence count (k-mer individuals)
     int32_t lcnt[4];
     int32_t rcnt[4];
 };
@@ -80,6 +81,7 @@ struct Table {
                 Node* nd = &nodes.back();
                 nd->kmer = key;
                 nd->first_idx = sidx;
+                nd->count = 0;
                 memset(nd->lcnt, 0, sizeof(nd->lcnt));
                 memset(nd->rcnt, 0, sizeof(nd->rcnt));
                 return nd;
@@ -127,6 +129,7 @@ struct Table {
                     right = has_left ? 3 - row[j - 1] : 4;
                 }
                 Node* nd = upsert(can, sbase + j);
+                nd->count++;
                 if (left < 4) nd->lcnt[left]++;
                 if (right < 4) nd->rcnt[right]++;
             }
@@ -176,6 +179,22 @@ void ingest_extract(void* h, uint64_t* kmers, int32_t* lcnt, int32_t* rcnt,
             lcnt[4 * i + j] = nd.lcnt[j];
             rcnt[4 * i + j] = nd.rcnt[j];
         }
+    }
+}
+
+// counts-only extraction (kmerfreq path); buffers sized by ingest_size()
+void ingest_extract_counts(void* h, uint64_t* kmers, int32_t* counts) {
+    ingest::Table* t = (ingest::Table*)h;
+    int64_t n = (int64_t)t->nodes.size();
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; i++) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+        return t->nodes[a].kmer < t->nodes[b].kmer;
+    });
+    for (int64_t i = 0; i < n; i++) {
+        const ingest::Node& nd = t->nodes[order[i]];
+        kmers[i] = nd.kmer;
+        counts[i] = nd.count;
     }
 }
 
