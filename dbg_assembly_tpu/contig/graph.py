@@ -219,8 +219,10 @@ def _merge_parts(parts):
     first[1:] = ks[1:] != ks[:-1]
     starts = np.flatnonzero(first)
     uniq = ks[first]
-    lcnt = np.add.reduceat(ls, starts, axis=0)
-    rcnt = np.add.reduceat(rs, starts, axis=0)
+    # reduceat promotes int32 -> int64; keep the NodeTable's declared int32
+    # (counters are saturated to 255 at every use site)
+    lcnt = np.add.reduceat(ls, starts, axis=0).astype(np.int32, copy=False)
+    rcnt = np.add.reduceat(rs, starts, axis=0).astype(np.int32, copy=False)
     fmin = np.minimum.reduceat(fi, starts)
     return [(uniq, lcnt, rcnt, fmin)]
 

@@ -28,7 +28,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import jax.numpy as jnp
 
 from .. import dna
 from ..kmer import count as kc

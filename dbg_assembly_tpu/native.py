@@ -38,7 +38,7 @@ def lib() -> ctypes.CDLL:
     _lib.stdsort_perm_desc.restype = None
     _lib.gcc44_sort_perm_desc.restype = None
     _lib.correct_batch.restype = None
-    _lib.assemble_run.restype = None
+    _lib.assemble_run.restype = ctypes.c_int
     _lib.ingest_create.restype = ctypes.c_void_p
     _lib.ingest_create.argtypes = [ctypes.c_int, ctypes.c_uint64]
     _lib.ingest_add.restype = None
@@ -260,7 +260,7 @@ def assemble_run(kmer: np.ndarray, lcnt: np.ndarray, rcnt: np.ndarray,
     p = params
     stats = np.zeros(15, np.int64)
     L = lib()
-    L.assemble_run(
+    rc = L.assemble_run(
         np.ascontiguousarray(kmer, np.uint64).ctypes
         .data_as(ctypes.POINTER(ctypes.c_uint64)),
         lcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -285,6 +285,9 @@ def assemble_run(kmer: np.ndarray, lcnt: np.ndarray, rcnt: np.ndarray,
         ctypes.c_int(p.contig_len_cutoff),
         prefix.encode(),
         stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        raise OSError(f"assemble_engine could not open an output file "
+                      f"under prefix {prefix!r} (see stderr)")
     return stats
 
 

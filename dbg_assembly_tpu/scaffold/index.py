@@ -124,6 +124,11 @@ def _build_py(contig_seqs: list[bytes], ksize: int) -> ContigIndex:
 
 def lookup(ix: ContigIndex, kmers: np.ndarray):
     """Vectorized exist_kmerset: returns (found, ids, pos, direct, uniq)."""
+    if ix.native is not None:
+        raise RuntimeError(
+            "lookup() unavailable on a native index (kmers/ids arrays live "
+            "inside the C++ engine) — build with DBG_PY_MAP=1 for array "
+            "access")
     loc = np.searchsorted(ix.kmers, kmers)
     loc = np.clip(loc, 0, max(len(ix.kmers) - 1, 0))
     found = (len(ix.kmers) > 0) & (ix.kmers[loc] == kmers)

@@ -26,6 +26,16 @@ static const char BASES[] = "ACGTN";
 static const char C_BASES[] = "TGCAN";
 
 struct Engine {
+    // set to the failing path on fopen failure; assemble_run surfaces it
+    // as a nonzero return so the Python wrapper can raise (ADVICE round 1)
+    std::string io_error;
+
+    FILE* xopen(const std::string& path, const char* mode) {
+        FILE* f = fopen(path.c_str(), mode);
+        if (!f && io_error.empty()) io_error = path;
+        return f;
+    }
+
     // node arrays (size n+1, last row = sentinel zeros)
     const uint64_t* kmer;
     int32_t* lcnt;   // [n+1][4], mutated by recalculate
@@ -139,7 +149,8 @@ struct Engine {
     }
 
     void write_kmer_freq(const std::string& path) {
-        FILE* f = fopen(path.c_str(), "w");
+        FILE* f = xopen(path, "w");
+        if (!f) return;
         fprintf(f, "Kmer_depth\tAppear_times\n");
         for (int i = 1; i < 256; i++)
             fprintf(f, "%d\t%lld\n", i, (long long)depth_stat[i]);
@@ -323,7 +334,8 @@ struct Engine {
 
     // ----------------------------------------------------------------- tips
     void remove_error_tips(const std::string& path) {
-        FILE* f = fopen(path.c_str(), "w");
+        FILE* f = xopen(path, "w");
+        if (!f) return;
         int64_t total_num = 0, total_len = 0;
         PathRes pr;
         for (int64_t idx : tip_nodes) {
@@ -377,7 +389,8 @@ struct Engine {
     }
 
     void remove_lowCov_edges(const std::string& path) {
-        FILE* f = fopen(path.c_str(), "w");
+        FILE* f = xopen(path, "w");
+        if (!f) return;
         int64_t num = 0, tot_len = 0;
         PathRes pr;
         int vb[4], vd[4], cntb;
@@ -546,7 +559,8 @@ struct Engine {
     }
 
     void remove_hetero_bubbles(const std::string& path) {
-        FILE* f = fopen(path.c_str(), "w");
+        FILE* f = xopen(path, "w");
+        if (!f) return;
         int64_t num = 0, tot_len = 0;
         PathRes p1, p2;
         int vb[4], vd[4], cntb;
@@ -729,10 +743,15 @@ struct Engine {
             gcc44_sort_perm_desc(lens.data(), (int64_t)recs.size(),
                                  perm.data());
 
-        FILE* cf = fopen((prefix + ".contig.seq.fa").c_str(), "w");
-        FILE* cd = fopen((prefix + ".contig.seq.depth").c_str(), "wb");
-        FILE* sf = fopen((prefix + ".contig.small.fa").c_str(), "w");
-        FILE* sd = fopen((prefix + ".contig.small.depth").c_str(), "wb");
+        FILE* cf = xopen(prefix + ".contig.seq.fa", "w");
+        FILE* cd = xopen(prefix + ".contig.seq.depth", "wb");
+        FILE* sf = xopen(prefix + ".contig.small.fa", "w");
+        FILE* sd = xopen(prefix + ".contig.small.depth", "wb");
+        if (!cf || !cd || !sf || !sd) {
+            if (cf) fclose(cf); if (cd) fclose(cd);
+            if (sf) fclose(sf); if (sd) fclose(sd);
+            return;
+        }
         st_ctg_num = st_ctg_len = st_small_num = st_small_len = 0;
         int64_t contig_id = 1;
         for (size_t pi = 0; pi < perm.size(); pi++) {
@@ -767,7 +786,7 @@ struct Engine {
 
 }  // namespace asmN
 
-extern "C" void assemble_run(
+extern "C" int assemble_run(
         const uint64_t* kmer, int32_t* lcnt, int32_t* rcnt,
         int64_t n_nodes,
         const int64_t* slot_of, uint64_t hash_size,
@@ -828,4 +847,10 @@ extern "C" void assemble_run(
     out_stats[12] = e.st_ctg_len;
     out_stats[13] = e.st_small_num;
     out_stats[14] = e.st_small_len;
+    if (!e.io_error.empty()) {
+        fprintf(stderr, "assemble_engine: cannot open %s\n",
+                e.io_error.c_str());
+        return 1;
+    }
+    return 0;
 }

@@ -13,6 +13,7 @@
 // not its layout, which RefAssembler emulates separately from first_idx).
 
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
@@ -71,6 +72,13 @@ struct Table {
     }
 
     inline Node* upsert(uint64_t key, int64_t sidx) {
+        // slots hold uint32 node-index+1: abort before the index space
+        // overflows and silently aliases distinct k-mers (ADVICE round 1)
+        if (nodes.size() >= 0xFFFFFFFEULL) {
+            fprintf(stderr, "ingest_engine: >4.29e9 distinct k-mers exceeds "
+                            "the 32-bit node index space\n");
+            abort();
+        }
         if ((nodes.size() + 1) * 10 > (mask + 1) * 7) grow();
         uint64_t hc = hash(key) & mask;
         while (true) {

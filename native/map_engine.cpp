@@ -14,6 +14,8 @@
 // fewer probes.
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -60,6 +62,13 @@ struct Index {
     }
 
     void insert(uint64_t key, int32_t id, int32_t pos, uint8_t dir) {
+        // slots hold uint32 entry-index+1: abort before the index space
+        // overflows and silently aliases distinct k-mers (ADVICE round 1)
+        if (entries.size() >= 0xFFFFFFFEULL) {
+            fprintf(stderr, "map_engine: >4.29e9 index entries exceeds the "
+                            "32-bit entry index space\n");
+            abort();
+        }
         if ((entries.size() + 1) * 10 > (mask + 1) * 7) grow();
         uint64_t hc = hash(key) & mask;
         while (true) {
