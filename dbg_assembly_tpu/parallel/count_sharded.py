@@ -110,6 +110,69 @@ def count_step(codes, lengths, *, ksize: int, mesh, capacity: int):
     return uniq, counts, n_unique, stats
 
 
+def default_capacity(n_reads: int, read_len: int, ksize: int,
+                     n_dev: int, slack: float = 1.25) -> int:
+    """Per-destination bucket capacity for a balanced k-mer route.
+
+    Expected load per (source device, owner) pair is kmers/device/n_dev;
+    mod-sharding of canonical k-mers is near-uniform, so a 25% slack
+    absorbs normal skew.  exact_* wrappers below double on overflow."""
+    per_dev = -(-n_reads // n_dev) * max(read_len - ksize + 1, 1)
+    return int(per_dev / n_dev * slack) + 64
+
+
+def _run_exact(step_fn, codes, lengths, *, ksize, mesh, capacity,
+               max_doublings, stats_index):
+    """Retry-on-overflow driver shared by the exact_* wrappers.
+
+    The reference degrades by IGNORING input once its hash fills
+    (DBGgraph.cpp:337-351, policy documented in main.cpp:66-70) and at
+    least alerts; silent undercounting is worse than either, so here a
+    step whose psum'd dropped counter is nonzero is re-run at doubled
+    (static) capacity until exact.  Each doubling recompiles once; the
+    compiled steps are cached per capacity for subsequent batches."""
+    for attempt in range(max_doublings + 1):
+        out = step_fn(codes, lengths, ksize=ksize, mesh=mesh,
+                      capacity=capacity)
+        stats = out[stats_index]
+        dropped = int(stats["dropped"])
+        stats["capacity"] = capacity
+        stats["capacity_doublings"] = attempt
+        if dropped == 0:
+            return out
+        capacity *= 2
+    raise RuntimeError(
+        f"k-mer route still overflowing after {max_doublings} capacity "
+        f"doublings (capacity={capacity}, dropped={dropped}); input is "
+        "pathologically skewed — shard by hashed key instead of raw mod")
+
+
+def count_step_exact(codes, lengths, *, ksize: int, mesh,
+                     capacity: int | None = None, max_doublings: int = 6):
+    """count_step with the production drop policy: never undercount.
+
+    Returns the same tuple as count_step; stats additionally carries the
+    final 'capacity' and how many 'capacity_doublings' were needed."""
+    if capacity is None:
+        capacity = default_capacity(codes.shape[0], codes.shape[1], ksize,
+                                    mesh.shape["d"])
+    return _run_exact(count_step, codes, lengths, ksize=ksize, mesh=mesh,
+                      capacity=capacity, max_doublings=max_doublings,
+                      stats_index=3)
+
+
+def graph_ingest_step_exact(codes, lengths, *, ksize: int, mesh,
+                            capacity: int | None = None,
+                            max_doublings: int = 6):
+    """graph_ingest_step with the production drop policy (see count_step_exact)."""
+    if capacity is None:
+        capacity = default_capacity(codes.shape[0], codes.shape[1], ksize,
+                                    mesh.shape["d"])
+    return _run_exact(graph_ingest_step, codes, lengths, ksize=ksize,
+                      mesh=mesh, capacity=capacity,
+                      max_doublings=max_doublings, stats_index=4)
+
+
 def _bucketize_with_payload(flat, payload, n_dev, capacity):
     """Like _bucketize but carries an int32 payload alongside each k-mer."""
     owner = (flat % jnp.uint64(n_dev)).astype(jnp.int32)

@@ -39,3 +39,64 @@ def test_sharded_count_matches_single_device():
     for d in range(un.shape[0]):
         vals = un[d, :int(nu[d])]
         assert np.all(vals % 8 == d)
+
+
+def test_skewed_input_overflows_then_counts_exactly():
+    """Production drop policy (VERDICT r1 item 6): a batch whose k-mers all
+    land on one owner shard overflows the default bucket capacity; the
+    exact wrapper must double capacity and still return exact counts."""
+    k = 15
+    N, L = 512, 64
+    # every read is the same homopolymer-free 2-periodic sequence -> only a
+    # couple of distinct k-mer species -> worst-case owner skew
+    codes = np.tile(np.array([0, 1], np.uint8), (N, L // 2))
+    lengths = np.full(N, L, np.int32)
+
+    m = meshmod.data_mesh(8)
+    cs, ls = meshmod.shard_batch(m, codes, lengths)
+
+    # the plain step at default capacity must drop (precondition for the test)
+    cap0 = count_sharded.default_capacity(N, L, k, 8)
+    _, _, _, stats0 = count_sharded.count_step(
+        cs, ls, ksize=k, mesh=m, capacity=cap0)
+    assert int(stats0["dropped"]) > 0
+
+    uniq, counts, n_unique, stats = count_sharded.count_step_exact(
+        cs, ls, ksize=k, mesh=m)
+    assert int(stats["dropped"]) == 0
+    assert stats["capacity_doublings"] >= 1
+
+    ref_u, ref_c, ref_total = kc.count_batch(codes, lengths, k)
+    assert int(stats["total_kmers"]) == ref_total
+    got = {}
+    un, cn, nu = np.asarray(uniq), np.asarray(counts), np.asarray(n_unique)
+    for d in range(un.shape[0]):
+        for i in range(int(nu[d])):
+            got[int(un[d, i])] = int(cn[d, i])
+    assert got == dict(zip(ref_u.tolist(), ref_c.tolist()))
+
+
+def test_skewed_ingest_exact_edges():
+    k = 15
+    N, L = 256, 64
+    codes = np.tile(np.array([0, 1, 2], np.uint8), (N, -(-L // 3)))[:, :L] \
+        .astype(np.uint8).copy()
+    lengths = np.full(N, L, np.int32)
+    m = meshmod.data_mesh(8)
+    cs, ls = meshmod.shard_batch(m, codes, lengths)
+    uniq, lcnt, rcnt, n_unique, stats = \
+        count_sharded.graph_ingest_step_exact(cs, ls, ksize=k, mesh=m)
+    assert int(stats["dropped"]) == 0
+    from dbg_assembly_tpu.contig.graph import GraphBuilder
+    gb = GraphBuilder(k)
+    gb.add(codes, lengths)
+    ref = gb.finalize()
+    got_edges = {}
+    un, ln_, rn = np.asarray(uniq), np.asarray(lcnt), np.asarray(rcnt)
+    nu = np.asarray(n_unique)
+    for d in range(un.shape[0]):
+        for i in range(int(nu[d])):
+            got_edges[int(un[d, i])] = (ln_[d, i].tolist(), rn[d, i].tolist())
+    ref_edges = {int(u): (l.tolist(), r.tolist())
+                 for u, l, r in zip(ref.kmers, ref.lcnt, ref.rcnt)}
+    assert got_edges == ref_edges
