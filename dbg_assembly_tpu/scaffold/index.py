@@ -22,7 +22,7 @@ over the full read span per mapped read.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -42,16 +42,44 @@ class ContigIndex:
     offsets: np.ndarray   # [n_contigs + 1] int64
     lengths: np.ndarray   # [n_contigs] int64
     native: object = None  # NativeMapIndex when the native engine is active
+    _device: dict = field(default=None, repr=False)  # cached jnp arrays
+
+    def device_arrays(self):
+        """Index arrays resident on the default device (cached)."""
+        import jax.numpy as jnp
+        if self._device is None:
+            object.__setattr__(self, "_device", {
+                "kmers": jnp.asarray(self.kmers),
+                "ids": jnp.asarray(self.ids),
+                "pos": jnp.asarray(self.pos),
+                "direct": jnp.asarray(self.direct),
+                "uniq": jnp.asarray(self.uniq),
+                "concat": jnp.asarray(
+                    self.concat if len(self.concat)
+                    else np.zeros(1, np.uint8)),
+                "offsets": jnp.asarray(self.offsets),
+                "lengths": jnp.asarray(
+                    self.lengths if len(self.lengths)
+                    else np.zeros(1, np.int64)),
+            })
+        return self._device
 
 
-def _force_py() -> bool:
+def _engine() -> str:
+    """'py' | 'jax' | 'native' — native on the CPU backend by default,
+    the jax device path on accelerators; DBG_PY_MAP / DBG_JAX_MAP force."""
     import os
-    return os.environ.get("DBG_PY_MAP") == "1"
+    if os.environ.get("DBG_PY_MAP") == "1":
+        return "py"
+    if os.environ.get("DBG_JAX_MAP") == "1":
+        return "jax"
+    import jax
+    return "native" if jax.default_backend() == "cpu" else "jax"
 
 
 def build(contig_seqs: list[bytes], ksize: int) -> ContigIndex:
     """contig_seqs: raw ASCII per contig slot ('' allowed, skipped)."""
-    if not _force_py():
+    if _engine() == "native":
         from .. import native
         lengths = np.array([len(s) for s in contig_seqs], dtype=np.int64)
         offsets = np.zeros(len(contig_seqs) + 1, dtype=np.int64)
@@ -165,6 +193,9 @@ def map_reads(ix: ContigIndex, codes: np.ndarray, ascii_seq: np.ndarray,
         return MapResult(mapped=mapped.astype(bool), contig=cid,
                          read_start=rs, read_end=re_, contig_start=cs,
                          contig_end=ce, direct=dr, identity=ident)
+    if _engine() == "jax":
+        return _map_reads_jax(ix, codes, ascii_seq, lengths, seed_kmer_num,
+                              min_identity, search_start)
     k = ix.ksize
     S = seed_kmer_num
     N, L = codes.shape
@@ -266,3 +297,143 @@ def map_reads(ix: ContigIndex, codes: np.ndarray, ascii_seq: np.ndarray,
                      contig_end=a_ctg_end.astype(np.int32),
                      direct=is_f.astype(np.uint8),
                      identity=identity)
+
+
+# --------------------------------------------------------------------------
+# Device (JAX) seed-and-extend path — the [native->TPU] mandate for the
+# positional KmerSet + aligner (kmerSet.h:54-61, map_func.cpp:181-299).
+#
+# The sorted-array index replaces the reference's open-addressing hash with
+# vectorized binary search (one jnp.searchsorted gather tree per probe
+# batch); the sequential first-qualifying-seed scan (map_func.cpp:185-233)
+# becomes an argmax over per-position seed validity (SURVEY.md section 7
+# hard part 6); ungapped extension is one gather + compare over the read
+# span.  Numeric parity with the numpy/native paths is bit-exact including
+# the float32 identity (verified by tests/test_engine_agreement.py).
+# --------------------------------------------------------------------------
+
+_COMP_TABLE = np.zeros(256, np.uint8)
+for _a, _b in zip(b"ACGTN", b"TGCAN"):
+    _COMP_TABLE[_a] = _b
+
+
+def _map_kernel(ixa, codes, ascii_seq, lengths, search_start, min_identity,
+                *, k: int, S: int):
+    """Jittable body: ixa = dict of device index arrays."""
+    import jax.numpy as jnp
+
+    kmers_ix = ixa["kmers"]
+    M = kmers_ix.shape[0]
+    N, L = codes.shape
+    P = L - k + 1
+
+    km = dna.rolling_kmers(codes, k)
+    rc = dna.revcomp_kbit(km, k)
+    read_dir = (km < rc).astype(jnp.uint8)
+    can = jnp.where(km < rc, km, rc)
+
+    loc = jnp.searchsorted(kmers_ix, can.reshape(-1))
+    loc = jnp.clip(loc, 0, max(M - 1, 0))
+    found = (M > 0) & (kmers_ix[loc] == can.reshape(-1))
+    cid = ixa["ids"][loc].reshape(N, P)
+    cpos = ixa["pos"][loc].reshape(N, P).astype(jnp.int64)
+    cdir = ixa["direct"][loc].reshape(N, P)
+    cuniq = ixa["uniq"][loc].reshape(N, P)
+    found = found.reshape(N, P)
+
+    ok1 = found & (cuniq == 1)
+    pos_i = jnp.arange(P)
+    ss = search_start.astype(jnp.int64)
+    Lr = lengths.astype(jnp.int64)
+    in_range = (pos_i[None, :] >= ss[:, None] - 1) & \
+               (pos_i[None, :] <= Lr[:, None] - k - S)
+    if P > S:
+        pair = (ok1[:, :P - S] & ok1[:, S:]
+                & (cid[:, :P - S] == cid[:, S:])
+                & (jnp.abs(cpos[:, S:] - cpos[:, :P - S]) == S))
+        valid_pair = jnp.pad(pair, ((0, 0), (0, S)))
+    else:
+        valid_pair = jnp.zeros((N, P), bool)
+    valid = valid_pair & in_range
+    has = valid.any(axis=1)
+    seed_i = jnp.argmax(valid, axis=1)
+
+    rows = jnp.arange(N)
+    sid = cid[rows, seed_i]
+    p1 = cpos[rows, seed_i]
+    p2 = cpos[rows, jnp.minimum(seed_i + S, P - 1)]
+    is_f = read_dir[rows, seed_i] == cdir[rows, seed_i]
+    seed_contig_start = jnp.where(is_f, p1 + 1, p2 + 1)
+    seed_contig_end = jnp.where(is_f, p2 + k, p1 + k)
+    seed_read_start = seed_i + 1
+    seed_read_end = seed_i + S + k
+
+    nlen = ixa["lengths"].shape[0]
+    clen = ixa["lengths"][jnp.clip(sid, 0, nlen - 1)]
+    coff = ixa["offsets"][jnp.clip(sid, 0, max(ixa["offsets"].shape[0] - 2,
+                                               0))]
+
+    w_start = jnp.where(is_f, seed_read_start, Lr - seed_read_end + 1)
+    w_end = jnp.where(is_f, seed_read_end, Lr - seed_read_start + 1)
+    ext_l = jnp.minimum(w_start - 1, seed_contig_start - 1)
+    ext_r = jnp.minimum(Lr - w_end, clen - seed_contig_end)
+    a_read_start = w_start - ext_l
+    a_read_end = w_end + ext_r
+    a_ctg_start = seed_contig_start - ext_l
+    a_ctg_end = seed_contig_end + ext_r
+    align_len = a_read_end - a_read_start + 1
+
+    comp = jnp.asarray(_COMP_TABLE)
+    t = jnp.arange(1, L + 1, dtype=jnp.int64)[None, :]
+    t_in = ((t >= a_read_start[:, None]) & (t <= a_read_end[:, None])
+            & ((t < w_start[:, None]) | (t > w_end[:, None])))
+    fwd_chars = ascii_seq[:, :L]
+    rev_idx = jnp.clip(Lr[:, None] - t, 0, L - 1)
+    rev_chars = comp[jnp.take_along_axis(ascii_seq, rev_idx, axis=1)]
+    oriented = jnp.where(is_f[:, None], fwd_chars, rev_chars)
+    cposx = coff[:, None] + a_ctg_start[:, None] - 1 + (t - a_read_start[:, None])
+    cposx = jnp.clip(cposx, 0, ixa["concat"].shape[0] - 1)
+    ctg_chars = ixa["concat"][cposx]
+    mm = jnp.sum((oriented != ctg_chars) & t_in, axis=1)
+    frac = mm.astype(jnp.float32) / align_len.astype(jnp.float32)
+    identity = (jnp.float64(1.0) - frac.astype(jnp.float64)) \
+        .astype(jnp.float32)
+
+    out_read_start = jnp.where(is_f, a_read_start, Lr - a_read_end + 1)
+    out_read_end = jnp.where(is_f, a_read_end, Lr - a_read_start + 1)
+    mapped = has & ~(identity.astype(jnp.float64)
+                     < min_identity.astype(jnp.float64))
+    return (mapped, sid.astype(jnp.int32),
+            out_read_start.astype(jnp.int32), out_read_end.astype(jnp.int32),
+            a_ctg_start.astype(jnp.int32), a_ctg_end.astype(jnp.int32),
+            is_f.astype(jnp.uint8), identity)
+
+
+_MAP_JIT_CACHE: dict = {}
+
+
+def _map_reads_jax(ix: ContigIndex, codes, ascii_seq, lengths,
+                   seed_kmer_num: int, min_identity: float,
+                   search_start=1) -> MapResult:
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    key = (ix.ksize, seed_kmer_num)
+    fn = _MAP_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(functools.partial(_map_kernel, k=ix.ksize,
+                                       S=seed_kmer_num))
+        _MAP_JIT_CACHE[key] = fn
+    N = codes.shape[0]
+    ss = np.asarray(search_start)
+    if ss.ndim == 0:
+        ss = np.full(N, int(ss), np.int64)
+    ixa = ix.device_arrays()
+    out = fn(ixa, jnp.asarray(codes), jnp.asarray(ascii_seq),
+             jnp.asarray(lengths), jnp.asarray(ss),
+             jnp.float64(min_identity))
+    mapped, sid, rs, re_, cs, ce, dr, ident = (np.asarray(o) for o in out)
+    return MapResult(mapped=mapped.astype(bool), contig=sid, read_start=rs,
+                     read_end=re_, contig_start=cs, contig_end=ce, direct=dr,
+                     identity=ident)

@@ -147,18 +147,26 @@ def test_map_native_vs_python(monkeypatch):
     lengths = np.full(len(reads), 100, np.int32)
 
     monkeypatch.delenv("DBG_PY_MAP", raising=False)
+    monkeypatch.delenv("DBG_JAX_MAP", raising=False)
     nat = ix.map_reads(ix.build(contigs, kmap), codes, ascii_seq, lengths,
                        seed_kmer_num=10, min_identity=0.95)
     monkeypatch.setenv("DBG_PY_MAP", "1")
     py = ix.map_reads(ix.build(contigs, kmap), codes, ascii_seq, lengths,
                       seed_kmer_num=10, min_identity=0.95)
+    monkeypatch.delenv("DBG_PY_MAP", raising=False)
+    monkeypatch.setenv("DBG_JAX_MAP", "1")
+    jx = ix.map_reads(ix.build(contigs, kmap), codes, ascii_seq, lengths,
+                      seed_kmer_num=10, min_identity=0.95)
 
-    np.testing.assert_array_equal(nat.mapped, py.mapped)
-    m = nat.mapped
-    for field in ("contig", "read_start", "read_end", "contig_start",
-                  "contig_end", "direct", "identity"):
-        np.testing.assert_array_equal(getattr(nat, field)[m],
-                                      getattr(py, field)[m], err_msg=field)
+    for other, name in ((py, "python"), (jx, "jax")):
+        np.testing.assert_array_equal(nat.mapped, other.mapped,
+                                      err_msg=f"mapped [{name}]")
+        m = nat.mapped
+        for field in ("contig", "read_start", "read_end", "contig_start",
+                      "contig_end", "direct", "identity"):
+            np.testing.assert_array_equal(
+                getattr(nat, field)[m], getattr(other, field)[m],
+                err_msg=f"{field} [{name}]")
 
 
 def test_assemble_native_raises_on_unwritable_prefix(tmp_path, monkeypatch):

@@ -71,9 +71,14 @@ def mapped(setup):
     return {"ref_dir": ref_out, "base": base, "twoctg": twoctg}
 
 
-def test_map_reads_golden(setup, mapped, tmp_path):
+@pytest.mark.parametrize("engine_env", [None, "DBG_JAX_MAP"])
+def test_map_reads_golden(setup, mapped, tmp_path, monkeypatch, engine_env):
     from dbg_assembly_tpu.scaffold import map_reads
 
+    monkeypatch.delenv("DBG_PY_MAP", raising=False)
+    monkeypatch.delenv("DBG_JAX_MAP", raising=False)
+    if engine_env:  # the device path (scaffold/index.py:_map_kernel)
+        monkeypatch.setenv(engine_env, "1")
     out = str(tmp_path / "ours_mr")
     map_reads.run(setup["contig_fa"], setup["long_lib"], out, ksize=31,
                   seed_kmer_num=5, min_ctg_len=125, min_read_len=250,

@@ -62,9 +62,15 @@ def ref_mapped(contig_and_reads):
     return {"dir": outdir, "base": base, "twoctg_lib": twoctg}
 
 
-def test_map_pair_golden(contig_and_reads, ref_mapped, tmp_path):
+@pytest.mark.parametrize("engine_env", [None, "DBG_JAX_MAP"])
+def test_map_pair_golden(contig_and_reads, ref_mapped, tmp_path, monkeypatch,
+                         engine_env):
     from dbg_assembly_tpu.scaffold import map_pair
 
+    monkeypatch.delenv("DBG_PY_MAP", raising=False)
+    monkeypatch.delenv("DBG_JAX_MAP", raising=False)
+    if engine_env:  # the device path (scaffold/index.py:_map_kernel)
+        monkeypatch.setenv(engine_env, "1")
     cr = contig_and_reads
     outdir = str(tmp_path / "ours_map")
     map_pair.run(cr["contig_fa"], cr["pairlib"], outdir, ksize=31,

@@ -27,8 +27,11 @@ N = BATCH * P  # number of kmers per iteration
 
 
 def timed(name, fn, *args, iters_hi=8, iters_lo=2, unit_n=N):
+    print(f"[compile] {name}", flush=True)
+    t0 = time.perf_counter()
     jfn = jax.jit(fn, static_argnames=("iters",))
     float(np.asarray(jfn(*args, iters=1)))  # compile+warm
+    print(f"[compiled in {time.perf_counter()-t0:.1f}s]", flush=True)
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
@@ -62,10 +65,15 @@ def main():
         valid = pos < (l_[:, None] - KSIZE + 1)
         return jnp.where(valid, can, kc.SENTINEL).reshape(-1)
 
+    print("computing flat kmers...", flush=True)
+    t0 = time.perf_counter()
     flat_unsorted = jax.jit(mk_flat)(cb, lb)
     flat_unsorted.block_until_ready()
+    print(f"flat done {time.perf_counter()-t0:.1f}s; sorting...", flush=True)
+    t0 = time.perf_counter()
     flat_sorted = jax.jit(jnp.sort)(flat_unsorted)
     flat_sorted.block_until_ready()
+    print(f"sorted {time.perf_counter()-t0:.1f}s", flush=True)
     print(f"N = {N/1e6:.1f} M kmers per iter", flush=True)
 
     def loop(body):
