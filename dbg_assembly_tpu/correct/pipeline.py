@@ -43,11 +43,70 @@ def load_bitmap_8bit(cz_path: str, ksize: int,
     return bitmap
 
 
+def correct_batch_jax(batch, bitmap: np.ndarray, p: CorrectParams,
+                      chunk: int = 8192):
+    """Device correction (correct/device.py) with host fallback for reads
+    that exceed the fixed beam/slot shapes (byte-exactness guaranteed by
+    re-running flagged rows on the parity engine from the original read)."""
+    import jax.numpy as jnp
+    from . import device as dev
+
+    n = batch.n_reads
+    Lmax = batch.seqs_ascii.shape[1]
+    lengths = batch.lengths.astype(np.int32)
+    bitmap_dev = jnp.asarray(bitmap)
+    ones = np.zeros(n, np.int32)
+    multis = np.zeros(n, np.int32)
+    deleteds = np.zeros(n, np.int32)
+    tls = np.zeros(n, np.int32)
+    trs = np.zeros(n, np.int32)
+    reads_mod = np.ascontiguousarray(batch.seqs_ascii).copy()
+    n_fallback = 0
+
+    for off in range(0, n, chunk):
+        end = min(off + chunk, n)
+        c = end - off
+        a = np.zeros((chunk, Lmax), np.uint8)
+        cd = np.full((chunk, Lmax), 4, np.uint8)
+        ln = np.zeros(chunk, np.int32)
+        a[:c] = batch.seqs_ascii[off:end]
+        cd[:c] = batch.codes[off:end]
+        ln[:c] = lengths[off:end]
+        (o, m, d, tl, tr, am, fb) = dev.correct_batch_device(
+            a, cd, ln, bitmap_dev, p)
+        ones[off:end] = o[:c]
+        multis[off:end] = m[:c]
+        deleteds[off:end] = d[:c]
+        tls[off:end] = tl[:c]
+        trs[off:end] = tr[:c]
+        reads_mod[off:end] = am[:c]
+        # host fallback for flagged rows, from the ORIGINAL read
+        for i in np.flatnonzero(fb[:c]):
+            gi = off + int(i)
+            L = int(lengths[gi])
+            read = bytearray(batch.seqs_ascii[gi, :L].tobytes())
+            corr = ReadCorrector(bitmap, p)
+            bits_i = classify_regions_batch(
+                batch.codes[gi:gi + 1], lengths[gi:gi + 1], bitmap,
+                p.ksize)[0]
+            (ones[gi], multis[gi], deleteds[gi], tls[gi],
+             trs[gi]) = corr.correct_one_read(
+                read, bits_i[:max(L - p.ksize + 1, 0)])
+            reads_mod[gi, :L] = np.frombuffer(bytes(read), np.uint8)
+            n_fallback += 1
+    return ones, multis, deleteds, tls, trs, reads_mod
+
+
 def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
                  fmt: int = 1, engine: str = "native") -> dict:
     """engine 'native' uses the C++ batch corrector (native/
     correct_engine.cpp, same semantics as the Python ReadCorrector —
-    cross-verified in tests); 'python' forces the reference Python path."""
+    cross-verified in tests); 'python' forces the reference Python path;
+    'jax' runs the device engine (correct/device.py) with host fallback.
+    DBG_JAX_CORRECT=1 forces the device engine."""
+    import os
+    if os.environ.get("DBG_JAX_CORRECT") == "1":
+        engine = "jax"
     p = params.resolved()
     batch = fastq.read_batch(path, fmt="fq" if fmt == 1 else "fa",
                              strict_n=False, keep_ascii=True)
@@ -74,6 +133,9 @@ def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
         ones, multis, deleteds, tls, trs = nat.correct_batch(
             flat, offsets, lengths.astype(np.int32), bits, bitmap, p)
         reads_mod = flat.reshape(n, Lmax)
+    elif engine == "jax" and n > 0:
+        (ones, multis, deleteds, tls,
+         trs, reads_mod) = correct_batch_jax(batch, bitmap, p)
     else:
         corr = ReadCorrector(bitmap, p)
         ones = np.zeros(n, np.int32)

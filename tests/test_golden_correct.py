@@ -66,7 +66,11 @@ def _run_correction_golden(tmpdir, ksize):
               os.path.basename(p) + " stat")
 
 
-def test_correct_golden_k13(tmp_path):
+@pytest.mark.parametrize("engine_env", [None, "DBG_JAX_CORRECT"])
+def test_correct_golden_k13(tmp_path, monkeypatch, engine_env):
+    monkeypatch.delenv("DBG_JAX_CORRECT", raising=False)
+    if engine_env:  # the device wave/beam engine (correct/device.py)
+        monkeypatch.setenv(engine_env, "1")
     _run_correction_golden(str(tmp_path), ksize=13)
 
 
