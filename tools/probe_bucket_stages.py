@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import functools
 
 from dbg_assembly_tpu.kmer import bucket
-from dbg_assembly_tpu import dna
 
 KSIZE = 31
 READ_LEN = 150
@@ -88,11 +87,11 @@ def main():
     def counts(start, vcnt):
         ends = jnp.concatenate([start[:, 1:], vcnt[:, None]], axis=1)
         ends = jnp.minimum(ends, vcnt[:, None])
-        st = jnp.minimum(start, vcnt[:, None])
+        st = jnp.minimum(start, vcnt[:, None])   # clamp mirrors bucket._partition
         cnt = (ends - st).astype(jnp.int32)
         cumBT = jnp.cumsum(cnt.T, axis=1)
-        return cnt, cumBT
-    cnt, cumBT = timed("counts+cumsum", counts, start, vcnt)
+        return st, cnt, cumBT
+    start, cnt, cumBT = timed("counts+cumsum", counts, start, vcnt)
 
     @jax.jit
     def marker_scatter(cnt, cumBT):
@@ -131,6 +130,8 @@ def main():
 
     @jax.jit
     def spectrum(counts_):
+        # timing-only: unlike bucket.count_spectrum this skips the final
+        # .at[0].set(0), so bin 0 includes non-species zero slots
         capped = jnp.clip(counts_, 0, 255).astype(jnp.int32)
         sc = jnp.sort(capped, axis=1)
         bins = jnp.arange(257, dtype=jnp.int32)
@@ -138,7 +139,7 @@ def main():
         return jnp.sum(e[:, 1:] - e[:, :-1], axis=0)
     spec = timed("spectrum", spectrum, counts_)
 
-    print("n_unique =", int(nuniq), flush=True)
+    print("n_unique =", int(nuniq), "n_valid =", int(n_valid), flush=True)
 
 
 if __name__ == "__main__":
