@@ -115,9 +115,8 @@ def measure_tpu() -> float:
         # tunnel costs seconds and would swamp the kernel time
         def body(i, acc):
             c2 = jnp.roll(c, i, axis=0)   # vary input between iterations
-            flat, n_valid = kc.chop_canonical(c2, l_, KSIZE)
-            flat = jnp.sort(flat)
-            spectrum, n_unique, _ = kc.count_stats(flat, max_freq=255)
+            spectrum, n_unique, n_valid = kc.count_spectrum_fast(
+                c2, l_, KSIZE, max_freq=255)
             return acc + spectrum[1] + n_unique + n_valid
         return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
 

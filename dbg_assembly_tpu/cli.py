@@ -81,6 +81,10 @@ def _correct(argv):
     ap.add_argument("-t", type=int, default=10)
     ap.add_argument("-f", type=int, default=1)
     ap.add_argument("-j", type=int, default=0)
+    ap.add_argument("--engine", choices=("auto", "native", "python", "jax"),
+                    default="auto",
+                    help="correction engine: auto = device (jax) on "
+                    "accelerator backends, native C++ on CPU")
     ap.add_argument("cz")
     ap.add_argument("lib")
     a = ap.parse_args(argv)
@@ -89,7 +93,7 @@ def _correct(argv):
     params = CorrectParams(ksize=a.k, high_freq_reg_len=a.m, max_change=a.c,
                            further_trim=a.x, max_bbt_nodes=a.n,
                            min_read_len=a.r)
-    pipeline.run(a.cz, a.lib, params, fmt=a.f)
+    pipeline.run(a.cz, a.lib, params, fmt=a.f, engine=a.engine)
     if a.j == 1:
         from .contig.pipeline import read_file_list
         from .utils.helpers import merge_corrected_pair
@@ -122,6 +126,11 @@ def _debruijn_contig(argv):
     ap.add_argument("-L", type=float, default=0.1)
     ap.add_argument("-E", type=float, default=0.1)
     ap.add_argument("-M", type=int, default=125)
+    ap.add_argument("--readout", choices=("exact", "doubling"),
+                    default="exact",
+                    help="contig extraction engine: 'exact' replays the "
+                    "reference serially (byte-exact); 'doubling' is the "
+                    "scalable bulk-pruning + pointer-doubling assembler")
     ap.add_argument("lib")
     a = ap.parse_args(argv)
     from .contig import pipeline
@@ -135,7 +144,7 @@ def _debruijn_contig(argv):
         bubble_len_diff_rate=a.L, bubble_base_diff_rate=a.E,
         contig_len_cutoff=a.M)
     stats = pipeline.run(a.lib, a.o, ksize=a.k, fmt=a.f, max_read_len=a.r,
-                         params=params)
+                         params=params, readout=a.readout)
     print(f"nodes={stats.total_nodes} contigs={stats.contig_num} "
           f"contig_len={stats.contig_len}", file=sys.stderr)
 

@@ -228,18 +228,58 @@ def _merge_parts(parts):
 
 
 class GraphBuilder:
-    """Streaming builder: feed read batches, finalize to a NodeTable."""
+    """Streaming builder: feed read batches, finalize to a NodeTable.
+
+    mesh: a jax Mesh with a 'd' axis switches ingest to the DISTRIBUTED
+    path — batches shard over devices, k-mers route to owner shards with
+    all_to_all, owners segment-reduce (parallel/count_sharded.py
+    graph_ingest_step_exact, the production caller of the exact
+    capacity-doubling drop policy).  The finalized NodeTable is
+    bit-identical to the single-device builder's (tests/
+    test_sharded_graph.py)."""
 
     def __init__(self, ksize: int, max_read_len: int = 250,
-                 batch_reads: int = 100_000):
+                 batch_reads: int = 100_000, mesh=None):
         self.ksize = ksize
         self.max_read_len = max_read_len
         self.batch_reads = batch_reads
+        self.mesh = mesh
         self.parts = []
         self.stream_pos = 0       # global k-mer position counter
         self.total_kmers = 0
         self.total_reads = 0
         self._native = None
+
+    def _add_mesh(self, cb: np.ndarray, lb: np.ndarray) -> None:
+        from ..parallel import count_sharded, mesh as meshmod
+        k = self.ksize
+        n_dev = self.mesh.shape["d"]
+        n_rows = len(cb)
+        cb = meshmod.pad_to_multiple(np.asarray(cb), n_dev)
+        lb = meshmod.pad_to_multiple(np.asarray(lb), n_dev)
+        cs, ls = meshmod.shard_batch(self.mesh, cb, lb)
+        uniq, lcnt, rcnt, fidx, n_unique, stats = \
+            count_sharded.graph_ingest_step_exact(
+                cs, ls, self.stream_pos, ksize=k, mesh=self.mesh)
+        un = np.asarray(uniq)
+        lc = np.asarray(lcnt)
+        rc = np.asarray(rcnt)
+        fi = np.asarray(fidx)
+        nu = np.asarray(n_unique)
+        for d in range(un.shape[0]):
+            m = int(nu[d])
+            if m:
+                self.parts.append((un[d, :m], lc[d, :m], rc[d, :m],
+                                   fi[d, :m]))
+        P = cb.shape[1] - k + 1
+        # advance by the UNPADDED extent so stream positions match the
+        # single-device builder bit-for-bit; padded rows' (overlapping)
+        # positions are never recorded — they have no valid windows
+        self.stream_pos += n_rows * P
+        self.total_kmers += int(stats["total_kmers"])
+        self.total_reads += n_rows
+        if len(self.parts) >= 8 * max(1, un.shape[0]):
+            self.parts = _merge_parts(self.parts)
 
     def add(self, codes: np.ndarray, lengths: np.ndarray) -> None:
         if codes.shape[1] > self.max_read_len:
@@ -258,6 +298,9 @@ class GraphBuilder:
             cb = cb[keep]
             lb = lb[keep]
             if len(cb) == 0:
+                continue
+            if self.mesh is not None:
+                self._add_mesh(cb, lb)
                 continue
             if jax.default_backend() == "cpu" and not _force_py():
                 # native streaming table (ingest_engine.cpp): the host twin

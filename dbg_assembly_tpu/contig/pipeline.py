@@ -23,7 +23,11 @@ def read_file_list(path: str) -> list[str]:
 
 
 def run(lib_file: str, prefix: str, ksize: int = 31, fmt: int = 1,
-        max_read_len: int = 250, params: AssembleParams | None = None):
+        max_read_len: int = 250, params: AssembleParams | None = None,
+        readout: str = "exact"):
+    """readout="exact" replays the reference serially (byte-exact files);
+    readout="doubling" runs the scalable bulk-pruning + pointer-doubling
+    assembler (record-exact; file order may differ on length ties)."""
     from ..io import fastq
 
     if params is None:
@@ -36,6 +40,9 @@ def run(lib_file: str, prefix: str, ksize: int = 31, fmt: int = 1,
                                  strict_n=False, keep_heads=False)
         gb.add(batch.codes, batch.lengths)
     table = gb.finalize()
+    if readout == "doubling":
+        from .pointer_doubling import assemble_doubling
+        return assemble_doubling(table, params, prefix)
     asm = RefAssembler(table, params)
     stats = asm.run(prefix)
     return stats

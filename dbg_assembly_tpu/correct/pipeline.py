@@ -97,23 +97,41 @@ def correct_batch_jax(batch, bitmap: np.ndarray, p: CorrectParams,
     return ones, multis, deleteds, tls, trs, reads_mod
 
 
+def _engine(requested: str = "auto") -> str:
+    """'native' | 'python' | 'jax' — like scaffold.index._engine: the
+    native batch corrector on the CPU backend, the jax device engine on
+    accelerators.  DBG_PY_CORRECT / DBG_JAX_CORRECT force."""
+    import os
+    if os.environ.get("DBG_PY_CORRECT") == "1":
+        return "python"
+    if os.environ.get("DBG_JAX_CORRECT") == "1":
+        return "jax"
+    if requested != "auto":
+        return requested
+    import jax
+    return "native" if jax.default_backend() == "cpu" else "jax"
+
+
 def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
-                 fmt: int = 1, engine: str = "native") -> dict:
+                 fmt: int = 1, engine: str = "auto") -> dict:
     """engine 'native' uses the C++ batch corrector (native/
     correct_engine.cpp, same semantics as the Python ReadCorrector —
     cross-verified in tests); 'python' forces the reference Python path;
-    'jax' runs the device engine (correct/device.py) with host fallback.
-    DBG_JAX_CORRECT=1 forces the device engine."""
-    import os
-    if os.environ.get("DBG_JAX_CORRECT") == "1":
-        engine = "jax"
+    'jax' runs the device engine (correct/device.py) with host fallback;
+    'auto' (default) picks jax on accelerator backends, native on CPU."""
+    engine = _engine(engine)
     p = params.resolved()
     batch = fastq.read_batch(path, fmt="fq" if fmt == 1 else "fa",
                              strict_n=False, keep_ascii=True)
     n = batch.n_reads
     lengths = batch.lengths.astype(np.int64)
-    bits = classify_regions_batch(batch.codes, batch.lengths, bitmap,
-                                  p.ksize)
+    # the jax engine classifies regions on device (correct/device.py
+    # _stage_a) and its host fallback re-derives bits per flagged read —
+    # the full-batch host pass would be pure duplicated work there
+    bits = None
+    if engine != "jax":
+        bits = classify_regions_batch(batch.codes, batch.lengths, bitmap,
+                                      p.ksize)
 
     num_raw_reads = n
     num_raw_bases = int(lengths.sum())
@@ -196,7 +214,7 @@ def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
 
 
 def run(cz_path: str, lib_path: str, params: CorrectParams | None = None,
-        fmt: int = 1, engine: str = "native") -> list[dict]:
+        fmt: int = 1, engine: str = "auto") -> list[dict]:
     from ..contig.pipeline import read_file_list
 
     if params is None:

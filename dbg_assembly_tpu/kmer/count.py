@@ -33,12 +33,15 @@ from .. import dna
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnames=("ksize",))
-def chop_canonical(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int):
-    """[N, L] codes + [N] lengths -> flat sorted canonical k-mers with
-    invalid positions pushed to the sentinel end.
+@functools.partial(jax.jit, static_argnames=("ksize", "sort"))
+def chop_canonical(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int,
+                   sort: bool = True):
+    """[N, L] codes + [N] lengths -> flat canonical k-mers with invalid
+    positions masked to the sentinel (sorted to the end when sort=True).
 
-    Returns (sorted_kmers [N*P], n_valid scalar).
+    Returns (kmers [N*P], n_valid scalar).  sort=False skips the device
+    sort for callers that sort downstream themselves — the sort is ~85% of
+    this function's cost on TPU and must not run twice.
     """
     N, L = codes.shape
     P = L - ksize + 1
@@ -48,9 +51,28 @@ def chop_canonical(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int):
     valid = pos < (lengths[:, None] - ksize + 1)
     can = jnp.where(valid, can, SENTINEL)
     flat = can.reshape(-1)
-    flat = jnp.sort(flat)
+    if sort:
+        flat = jnp.sort(flat)
     n_valid = jnp.sum(valid.astype(jnp.int64))
     return flat, n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "max_freq"))
+def count_spectrum_fast(codes: jnp.ndarray, lengths: jnp.ndarray,
+                        ksize: int, max_freq: int = 255):
+    """Single-chip counting fast path: chop + ONE device sort + gather-free
+    blocked-window-min stats (kmer.stats.spectrum_sorted).
+
+    This is the benchmark pipeline (BASELINE.json "k-mers counted/sec/chip")
+    racing the reference ingest hot loop
+    (DBG_contig/DBGgraph.cpp:64-98,167-205).  Returns
+    (spectrum [max_freq+1] i64, n_unique i64, n_valid i64).
+    """
+    from . import stats as _stats
+    flat, n_valid = chop_canonical(codes, lengths, ksize, sort=False)
+    flat = jnp.sort(flat)
+    spectrum, n_unique = _stats.spectrum_sorted(flat, max_freq=max_freq)
+    return spectrum, n_unique, n_valid
 
 
 @jax.jit

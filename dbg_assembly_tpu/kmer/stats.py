@@ -59,24 +59,53 @@ def spectrum_sorted(sorted_kmers: jnp.ndarray, max_freq: int = 255):
     """Spectrum histogram + species count from a sorted k-mer vector.
 
     Identical contract to kmer.count.count_stats' (spectrum, n_unique) but
-    without the second sort: run lengths via one reverse cummin of boundary
-    indices, histogram via compare-reduce.  Returns
-    (spectrum [max_freq+1] int64 with spectrum[0] == 0, n_unique int64).
+    without the second sort OR a global scan: because species counts
+    saturate at max_freq, the next-run-boundary after position i only needs
+    to be found within a max_freq-wide window, so run lengths come from a
+    BLOCKED sliding-window min (per-block prefix/suffix mins along a short
+    axis — a handful of fused elementwise passes) instead of a full-length
+    reverse cummin (whose log-step scan costs ~70 ms at 37M on TPU).
+    Returns (spectrum [max_freq+1] int64, spectrum[0] == 0; n_unique i64).
     """
     x = sorted_kmers
     n = x.shape[0]
     valid = x != SENTINEL
-    idx = jnp.arange(n, dtype=jnp.int64)
     first = jnp.concatenate([jnp.ones((1,), bool), x[1:] != x[:-1]]) & valid
     to_invalid = jnp.concatenate([jnp.zeros((1,), bool),
                                   valid[:-1] & ~valid[1:]])
     boundary = first | to_invalid
-    fidx = jnp.where(boundary, idx, n)
-    nxt = jnp.flip(jax.lax.cummin(jnp.flip(
-        jnp.concatenate([fidx[1:], jnp.array([n], jnp.int64)]))))
-    counts = nxt - idx
     n_unique = jnp.sum(first.astype(jnp.int64))
-    capped = jnp.clip(counts, 1, max_freq).astype(jnp.int32)
-    capped = jnp.where(first, capped, -1)      # non-first -> no bin
+
+    # nxt[i] = index of the first boundary in (i, i + max_freq]; runs longer
+    # than that cap to max_freq anyway.  Blocked window-min: W >= max_freq,
+    # window (i, i+w] spans suffix of block b from j+1 and prefix of block
+    # b+1 through j+w-W.
+    w = max_freq
+    W = max(w, 256)
+    idx32 = jnp.arange(n, dtype=jnp.int32)
+    BIG = jnp.int32(2 ** 31 - 1)
+    fidx = jnp.where(boundary, idx32, BIG)
+    pad = (-n) % W
+    nb = (n + pad) // W
+    fpad = jnp.concatenate([fidx, jnp.full((pad,), BIG, jnp.int32)]) \
+        if pad else fidx
+    blocks = fpad.reshape(nb, W)
+    suf = jax.lax.cummin(blocks, axis=1, reverse=True)       # [nb, W]
+    pre = jax.lax.cummin(blocks, axis=1)
+    # suffix part: min(block[b, j+1:]) = suf[b, j+1] (BIG when j == W-1)
+    suf_part = jnp.concatenate(
+        [suf[:, 1:], jnp.full((nb, 1), BIG, jnp.int32)], axis=1)
+    # prefix part: min(block[b+1, :j+w-W+1]) — empty (BIG) when j + w < W
+    nxt_block_pre = jnp.concatenate(
+        [pre[1:], jnp.full((1, W), BIG, jnp.int32)], axis=0)  # [nb, W]
+    jj = jnp.arange(W, dtype=jnp.int32)
+    take = jj + w - W                                         # prefix end
+    pre_part = jnp.where(
+        take[None, :] >= 0,
+        nxt_block_pre[:, jnp.clip(take, 0, W - 1)], BIG)
+    nxt = jnp.minimum(suf_part, pre_part).reshape(-1)[:n]
+    counts = jnp.where(nxt == BIG, jnp.int32(max_freq),
+                       jnp.minimum(nxt - idx32, max_freq))
+    capped = jnp.where(first, jnp.maximum(counts, 1), -1)
     spectrum = histogram_small(capped, max_freq + 1)
     return spectrum, n_unique

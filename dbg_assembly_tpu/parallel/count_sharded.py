@@ -161,20 +161,24 @@ def count_step_exact(codes, lengths, *, ksize: int, mesh,
                       stats_index=3)
 
 
-def graph_ingest_step_exact(codes, lengths, *, ksize: int, mesh,
-                            capacity: int | None = None,
+def graph_ingest_step_exact(codes, lengths, base_index=0, *, ksize: int,
+                            mesh, capacity: int | None = None,
                             max_doublings: int = 6):
     """graph_ingest_step with the production drop policy (see count_step_exact)."""
     if capacity is None:
         capacity = default_capacity(codes.shape[0], codes.shape[1], ksize,
                                     mesh.shape["d"])
-    return _run_exact(graph_ingest_step, codes, lengths, ksize=ksize,
+
+    def step(codes, lengths, **kw):
+        return graph_ingest_step(codes, lengths, base_index, **kw)
+
+    return _run_exact(step, codes, lengths, ksize=ksize,
                       mesh=mesh, capacity=capacity,
-                      max_doublings=max_doublings, stats_index=4)
+                      max_doublings=max_doublings, stats_index=5)
 
 
 def _bucketize_with_payload(flat, payload, n_dev, capacity):
-    """Like _bucketize but carries an int32 payload alongside each k-mer."""
+    """Like _bucketize but carries an integer payload alongside each k-mer."""
     owner = (flat % jnp.uint64(n_dev)).astype(jnp.int32)
     owner = jnp.where(flat == SENTINEL, n_dev, owner)
     order = jnp.argsort(owner, stable=True)
@@ -194,25 +198,38 @@ def _bucketize_with_payload(flat, payload, n_dev, capacity):
 
 
 @functools.partial(jax.jit, static_argnames=("ksize", "mesh", "capacity"))
-def graph_ingest_step(codes, lengths, *, ksize: int, mesh, capacity: int):
+def graph_ingest_step(codes, lengths, base_index=0, *, ksize: int, mesh,
+                      capacity: int):
     """Distributed de Bruijn graph ingest: the multi-chip version of the
     contig stage's node-table build (SURVEY.md P2, the BASELINE north star).
 
     Each device chops canonical k-mers WITH strand-adjusted neighbor bases
-    (DBGgraph.cpp:76-89 semantics), routes (kmer, left|right packed payload)
-    to the k-mer's owner shard with all_to_all, and the owner segment-sums
-    the eight 8-bit edge counters for its k-mer species.
+    (DBGgraph.cpp:76-89 semantics), routes (kmer, payload = stream position
+    << 6 | left*8 + right) to the k-mer's owner shard with all_to_all, and
+    the owner segment-sums the eight 8-bit edge counters and segment-mins
+    the first-occurrence stream position for its k-mer species.  base_index
+    is the global stream position of this batch's first window, so the
+    merged table is bit-identical to the single-device builder's, including
+    the insertion-order field the hash-layout emulation depends on.
 
     Returns per-device (uniq [D,n], lcnt [D,n,4], rcnt [D,n,4],
-    n_unique [D]) and global stats.
+    first_idx [D,n], n_unique [D]) and global stats.
     """
     from ..contig.graph import _chop_with_edges
     n_dev = mesh.shape["d"]
+    NO_IDX = jnp.int64(2 ** 62)
 
     def shard_fn(codes, lengths):
         can, left, right, valid = _chop_with_edges(codes, lengths, ksize)
         flat = can.reshape(-1)
-        payload = (left.reshape(-1) * 8 + right.reshape(-1)).astype(jnp.int32)
+        n_local = flat.shape[0]
+        # global stream position of each window: rows are contiguous
+        # per-device blocks of the batch
+        dev = jax.lax.axis_index("d").astype(jnp.int64)
+        pos = (jnp.int64(base_index) + dev * n_local
+               + jnp.arange(n_local, dtype=jnp.int64))
+        payload = (pos << 6) | (left.reshape(-1) * 8
+                                + right.reshape(-1)).astype(jnp.int64)
         n_valid = jnp.sum(valid.astype(jnp.int64))
         buf_k, buf_p, dropped = _bucketize_with_payload(
             flat, payload, n_dev, capacity)
@@ -229,8 +246,9 @@ def graph_ingest_step(codes, lengths, *, ksize: int, mesh, capacity: int):
         seg = jnp.maximum(jnp.cumsum(first.astype(jnp.int64)) - 1, 0) \
             .astype(jnp.int32)
         is_valid = sk != SENTINEL
-        lbase = sp // 8
-        rbase = sp % 8
+        edges = (sp & jnp.int64(63)).astype(jnp.int32)
+        lbase = edges // 8
+        rbase = edges % 8
         lhot = ((lbase[:, None] == jnp.arange(4)[None, :])
                 & is_valid[:, None]).astype(jnp.int32)
         rhot = ((rbase[:, None] == jnp.arange(4)[None, :])
@@ -239,20 +257,23 @@ def graph_ingest_step(codes, lengths, *, ksize: int, mesh, capacity: int):
         rcnt = jax.ops.segment_sum(rhot, seg, num_segments=n)
         uniq = jax.ops.segment_min(
             jnp.where(is_valid, sk, SENTINEL), seg, num_segments=n)
+        first_idx = jax.ops.segment_min(
+            jnp.where(is_valid, sp >> 6, NO_IDX), seg, num_segments=n)
         n_unique = jnp.sum(first.astype(jnp.int64))
         g_total = jax.lax.psum(n_valid, "d")
         g_unique = jax.lax.psum(n_unique, "d")
         g_dropped = jax.lax.psum(dropped, "d")
-        return (uniq[None], lcnt[None], rcnt[None], n_unique[None],
-                g_total[None], g_unique[None], g_dropped[None])
+        return (uniq[None], lcnt[None], rcnt[None], first_idx[None],
+                n_unique[None], g_total[None], g_unique[None],
+                g_dropped[None])
 
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("d", None), P("d")),
         out_specs=(P("d", None), P("d", None, None), P("d", None, None),
-                   P("d"), P("d"), P("d"), P("d")))
-    uniq, lcnt, rcnt, n_unique, g_total, g_unique, g_dropped = fn(
-        codes, lengths)
+                   P("d", None), P("d"), P("d"), P("d"), P("d")))
+    (uniq, lcnt, rcnt, first_idx, n_unique, g_total, g_unique,
+     g_dropped) = fn(codes, lengths)
     stats = {"total_kmers": g_total[0], "unique_kmers": g_unique[0],
              "dropped": g_dropped[0]}
-    return uniq, lcnt, rcnt, n_unique, stats
+    return uniq, lcnt, rcnt, first_idx, n_unique, stats

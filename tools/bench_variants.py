@@ -152,6 +152,16 @@ def variant_mono2(batch):
     return step
 
 
+def variant_fast(batch):
+    """The production fast path: chop + single sort + blocked-window stats."""
+    from dbg_assembly_tpu.kmer import count as kc
+
+    def step(c, l_):
+        spectrum, n_unique, n_valid = kc.count_spectrum_fast(c, l_, KSIZE)
+        return spectrum[1] + n_unique + n_valid
+    return step
+
+
 def variant_sortpair32(batch):
     """Chop + lax.sort of the u64 keys split into (hi, lo) u32 operands:
     does comparator key width drive the monolithic sort cost?"""
@@ -226,6 +236,8 @@ def main():
             step = variant_mono2(args.batch)
         elif name == "sortpair32":
             step = variant_sortpair32(args.batch)
+        elif name == "fast":
+            step = variant_fast(args.batch)
         elif name == "cummin":
             step = variant_cummin(args.batch)
         elif name == "hist":
