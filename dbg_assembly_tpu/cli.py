@@ -144,9 +144,9 @@ def _debruijn_contig(argv):
         bubble_len_diff_rate=a.L, bubble_base_diff_rate=a.E,
         contig_len_cutoff=a.M)
     stats = pipeline.run(a.lib, a.o, ksize=a.k, fmt=a.f, max_read_len=a.r,
-                         params=params, readout=a.readout)
-    print(f"nodes={stats.total_nodes} contigs={stats.contig_num} "
-          f"contig_len={stats.contig_len}", file=sys.stderr)
+                         params=params, readout=a.readout,
+                         log_stream=sys.stderr, log_threads=a.t,
+                         log_buffer=a.b, log_doublings=a.e)
 
 
 def _map_pair(argv):

@@ -133,7 +133,8 @@ def _aggregate_batch(codes, lengths, ksize, base_index):
     rcnt = cum_r[ends] - cum_r[starts]
     uniq = jnp.where(pos < n_unique, sk[starts], SENTINEL)
     first_idx = jnp.where(pos < n_unique, sidx[starts], jnp.int64(2 ** 62))
-    return uniq, lcnt, rcnt, first_idx, n_unique, n_valid
+    counts = jnp.where(pos < n_unique, ends - starts, 0).astype(jnp.int32)
+    return uniq, lcnt, rcnt, first_idx, counts, n_unique, n_valid
 
 
 def _aggregate_batch_np(codes: np.ndarray, lengths: np.ndarray, ksize: int,
@@ -178,7 +179,8 @@ def _aggregate_batch_np(codes: np.ndarray, lengths: np.ndarray, ksize: int,
     starts = np.flatnonzero(first)
     if len(starts) == 0:
         return (np.zeros(0, np.uint64), np.zeros((0, 4), np.int32),
-                np.zeros((0, 4), np.int32), np.zeros(0, np.int64), n_valid)
+                np.zeros((0, 4), np.int32), np.zeros(0, np.int64),
+                np.zeros(0, np.int32), n_valid)
     uniq = sk[starts]
     vmask = sk != SENTINEL
     lcnt = np.empty((len(starts), 4), np.int32)
@@ -190,7 +192,8 @@ def _aggregate_batch_np(codes: np.ndarray, lengths: np.ndarray, ksize: int,
             ((sr == b) & vmask).astype(np.int32), starts)
     # stable sort keeps stream order inside each run -> run head is the min
     first_idx = base_index + order[starts].astype(np.int64)
-    return uniq, lcnt, rcnt, first_idx, n_valid
+    counts = np.add.reduceat(vmask.astype(np.int32), starts)
+    return uniq, lcnt, rcnt, first_idx, counts, n_valid
 
 
 @dataclass
@@ -202,6 +205,7 @@ class NodeTable:
     first_idx: np.ndarray   # [M] int64 first-occurrence stream position
     total_kmers: int = 0
     total_reads: int = 0
+    counts: np.ndarray | None = None   # [M] int32 k-mer individuals
 
     @property
     def n_nodes(self) -> int:
@@ -213,8 +217,10 @@ def _merge_parts(parts):
     ls = np.concatenate([p[1] for p in parts])
     rs = np.concatenate([p[2] for p in parts])
     fi = np.concatenate([p[3] for p in parts])
+    cn = np.concatenate([p[4] for p in parts])
     order = np.argsort(ks, kind="stable")
-    ks, ls, rs, fi = ks[order], ls[order], rs[order], fi[order]
+    ks, ls, rs, fi, cn = ks[order], ls[order], rs[order], fi[order], \
+        cn[order]
     first = np.ones(len(ks), bool)
     first[1:] = ks[1:] != ks[:-1]
     starts = np.flatnonzero(first)
@@ -224,7 +230,8 @@ def _merge_parts(parts):
     lcnt = np.add.reduceat(ls, starts, axis=0).astype(np.int32, copy=False)
     rcnt = np.add.reduceat(rs, starts, axis=0).astype(np.int32, copy=False)
     fmin = np.minimum.reduceat(fi, starts)
-    return [(uniq, lcnt, rcnt, fmin)]
+    csum = np.add.reduceat(cn, starts).astype(np.int32, copy=False)
+    return [(uniq, lcnt, rcnt, fmin, csum)]
 
 
 class GraphBuilder:
@@ -258,19 +265,20 @@ class GraphBuilder:
         cb = meshmod.pad_to_multiple(np.asarray(cb), n_dev)
         lb = meshmod.pad_to_multiple(np.asarray(lb), n_dev)
         cs, ls = meshmod.shard_batch(self.mesh, cb, lb)
-        uniq, lcnt, rcnt, fidx, n_unique, stats = \
+        uniq, lcnt, rcnt, fidx, cnt, n_unique, stats = \
             count_sharded.graph_ingest_step_exact(
                 cs, ls, self.stream_pos, ksize=k, mesh=self.mesh)
         un = np.asarray(uniq)
         lc = np.asarray(lcnt)
         rc = np.asarray(rcnt)
         fi = np.asarray(fidx)
+        cn = np.asarray(cnt)
         nu = np.asarray(n_unique)
         for d in range(un.shape[0]):
             m = int(nu[d])
             if m:
                 self.parts.append((un[d, :m], lc[d, :m], rc[d, :m],
-                                   fi[d, :m]))
+                                   fi[d, :m], cn[d, :m]))
         P = cb.shape[1] - k + 1
         # advance by the UNPADDED extent so stream positions match the
         # single-device builder bit-for-bit; padded rows' (overlapping)
@@ -314,18 +322,20 @@ class GraphBuilder:
                 self.total_reads += int(keep.sum())
                 continue
             if jax.default_backend() == "cpu":
-                uniq, lcnt, rcnt, fidx, n_valid = _aggregate_batch_np(
+                uniq, lcnt, rcnt, fidx, cnt, n_valid = _aggregate_batch_np(
                     np.asarray(cb), np.asarray(lb), k, self.stream_pos)
-                self.parts.append((uniq, lcnt, rcnt, fidx))
+                self.parts.append((uniq, lcnt, rcnt, fidx, cnt))
             else:
-                uniq, lcnt, rcnt, fidx, n_uniq, n_valid = _aggregate_batch(
+                (uniq, lcnt, rcnt, fidx, cnt, n_uniq,
+                 n_valid) = _aggregate_batch(
                     jnp.asarray(cb), jnp.asarray(lb), k,
                     jnp.int64(self.stream_pos))
                 n_uniq = int(n_uniq)
                 self.parts.append((np.asarray(uniq[:n_uniq]),
                                    np.asarray(lcnt[:n_uniq]),
                                    np.asarray(rcnt[:n_uniq]),
-                                   np.asarray(fidx[:n_uniq])))
+                                   np.asarray(fidx[:n_uniq]),
+                                   np.asarray(cnt[:n_uniq])))
             P = cb.shape[1] - k + 1
             self.stream_pos += len(cb) * P
             self.total_kmers += int(n_valid)
@@ -336,17 +346,21 @@ class GraphBuilder:
     def finalize(self) -> NodeTable:
         if self._native is not None:
             kmers, lcnt, rcnt, fidx, total = self._native.extract()
+            ck, counts, _ = self._native.extract_counts()
+            assert np.array_equal(ck, kmers)
             self._native.close()
             self._native = None
             return NodeTable(kmers, lcnt, rcnt, fidx, total,
-                             self.total_reads)
+                             self.total_reads, counts=counts)
         if not self.parts:
             return NodeTable(np.zeros(0, np.uint64), np.zeros((0, 4), np.int32),
                              np.zeros((0, 4), np.int32), np.zeros(0, np.int64),
-                             0, self.total_reads)
+                             0, self.total_reads,
+                             counts=np.zeros(0, np.int32))
         self.parts = _merge_parts(self.parts)
-        u, l_, r, f = self.parts[0]
-        return NodeTable(u, l_, r, f, self.total_kmers, self.total_reads)
+        u, l_, r, f, c = self.parts[0]
+        return NodeTable(u, l_, r, f, self.total_kmers, self.total_reads,
+                         counts=c)
 
 
 def build_from_files(files: list[str], ksize: int, fmt: str = "fq",

@@ -24,25 +24,55 @@ def read_file_list(path: str) -> list[str]:
 
 def run(lib_file: str, prefix: str, ksize: int = 31, fmt: int = 1,
         max_read_len: int = 250, params: AssembleParams | None = None,
-        readout: str = "exact"):
+        readout: str = "exact", log_stream=None, log_threads: int = 10,
+        log_buffer: int = 10_000, log_doublings: int = 10):
     """readout="exact" replays the reference serially (byte-exact files);
     readout="doubling" runs the scalable bulk-pruning + pointer-doubling
-    assembler (record-exact; file order may differ on length ties)."""
+    assembler (record-exact; file order may differ on length ties).
+    log_stream: emit the reference-parity cerr run log there
+    (contig/runlog.py; the reference's per-block heartbeat cadence follows
+    log_buffer = its -b flag, log_threads its -t)."""
+    import numpy as np
     from ..io import fastq
+    from .runlog import ContigRunLog, count_end_marks
 
     if params is None:
         params = AssembleParams(ksize=ksize)
     params.ksize = ksize
     files = read_file_list(lib_file)
+    log = None
+    if log_stream is not None:
+        log = ContigRunLog(log_stream, params, prefix, fmt, max_read_len,
+                           threads=log_threads, buffer_reads=log_buffer,
+                           max_doublings=log_doublings)
+        log.parameters()
+        log.hash_init()
     gb = GraphBuilder(ksize, max_read_len)
     for path in files:
         batch = fastq.read_batch(path, fmt="fq" if fmt == 1 else "fa",
                                  strict_n=False, keep_heads=False)
+        if log:
+            log.file_start(path)
+            log.file_blocks(np.minimum(batch.lengths, max_read_len),
+                            ksize)
+            log.file_end()
         gb.add(batch.codes, batch.lengths)
     table = gb.finalize()
     if readout == "doubling":
         from .pointer_doubling import assemble_doubling
-        return assemble_doubling(table, params, prefix)
-    asm = RefAssembler(table, params)
-    stats = asm.run(prefix)
+        stats = assemble_doubling(table, params, prefix)
+    else:
+        asm = RefAssembler(table, params)
+        if log:
+            log.hash_params(asm.size, asm.n_nodes,
+                            asm.stats.hash_conflicts_occ)
+        stats = asm.run(prefix)
+    if log:
+        if readout == "doubling":
+            log.hash_params(stats.hash_size, stats.total_nodes,
+                            stats.hash_conflicts_occ)
+        log.links(stats)
+        log.pruning(stats)
+        brk, bra = count_end_marks(prefix)
+        log.readout(stats, brk, bra)
     return stats

@@ -113,12 +113,22 @@ class _Graph:
                                "init_hash_size")
         slots, conflicts = native.hash_layout(kmers[order], size)
         self.stats.hash_conflicts = conflicts
+        if table.counts is not None:
+            counts = table.counts
+            if len(counts) != M:
+                counts = np.concatenate([[np.int32(0)], counts])
+            home = (native.jenkins64(kmers[order])
+                    % np.uint64(size)).astype(np.int64)
+            disp = (slots - home) % size
+            self.stats.hash_conflicts_occ = int(
+                (disp * counts[order].astype(np.int64)).sum())
         slot_of = np.full(M, -1, np.int64)
         slot_of[order] = slots
         occupied = set(slots.tolist())
         pa = int(np.flatnonzero(is_polyA)[0])
         hc = int(native.jenkins64(np.uint64(0)) % np.uint64(size))
         while hc in occupied:
+            self.stats.hash_conflicts_occ += 1
             hc = 0 if hc + 1 == size else hc + 1
         slot_of[pa] = hc
         self.prio = np.empty(M, np.int64)       # node id -> iteration rank

@@ -153,7 +153,10 @@ class AssembleStats:
     small_num: int = 0
     small_len: int = 0
     hash_size: int = 0
-    hash_conflicts: int = 0
+    hash_conflicts: int = 0         # insert-time probe displacements
+    hash_conflicts_occ: int = 0     # per-OCCURRENCE displacements: what the
+    # reference's count_conflict accumulates in the ingest CAS loop
+    # (DBGgraph.cpp:200) plus the final poly-A insert (DBGgraph.cpp:418)
 
 
 class RefAssembler:
@@ -196,6 +199,18 @@ class RefAssembler:
                 "(enlargement emulation not implemented)")
         slots, conflicts = native.hash_layout(kmers[order], size)
         self.stats.hash_conflicts = conflicts
+        if table.counts is not None:
+            # per-occurrence conflicts: every occurrence probes the full
+            # insert-time displacement of its species (the slot path is
+            # frozen at insert); poly-A k-mers bypass the hash
+            counts = table.counts
+            if len(counts) != M:
+                counts = np.concatenate([[np.int32(0)], counts])
+            home = (native.jenkins64(kmers[order])
+                    % np.uint64(size)).astype(np.int64)
+            disp = (slots - home) % size
+            self.stats.hash_conflicts_occ = int(
+                (disp * counts[order].astype(np.int64)).sum())
 
         # node arrays indexed by node id 0..M-1 (+ sentinel row M of zeros)
         self.kmer = np.concatenate([kmers, [np.uint64(0)]])
@@ -210,6 +225,7 @@ class RefAssembler:
         pa = int(np.flatnonzero(is_polyA)[0])
         hc = int(native.jenkins64(np.uint64(0)) % np.uint64(size))
         while hc in occupied:
+            self.stats.hash_conflicts_occ += 1
             hc = 0 if hc + 1 == size else hc + 1
         self.slot_of[pa] = hc
         self.polyA_id = pa

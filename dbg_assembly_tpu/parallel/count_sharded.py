@@ -174,7 +174,7 @@ def graph_ingest_step_exact(codes, lengths, base_index=0, *, ksize: int,
 
     return _run_exact(step, codes, lengths, ksize=ksize,
                       mesh=mesh, capacity=capacity,
-                      max_doublings=max_doublings, stats_index=5)
+                      max_doublings=max_doublings, stats_index=6)
 
 
 def _bucketize_with_payload(flat, payload, n_dev, capacity):
@@ -259,21 +259,24 @@ def graph_ingest_step(codes, lengths, base_index=0, *, ksize: int, mesh,
             jnp.where(is_valid, sk, SENTINEL), seg, num_segments=n)
         first_idx = jax.ops.segment_min(
             jnp.where(is_valid, sp >> 6, NO_IDX), seg, num_segments=n)
+        counts = jax.ops.segment_sum(is_valid.astype(jnp.int32), seg,
+                                     num_segments=n)
         n_unique = jnp.sum(first.astype(jnp.int64))
         g_total = jax.lax.psum(n_valid, "d")
         g_unique = jax.lax.psum(n_unique, "d")
         g_dropped = jax.lax.psum(dropped, "d")
         return (uniq[None], lcnt[None], rcnt[None], first_idx[None],
-                n_unique[None], g_total[None], g_unique[None],
-                g_dropped[None])
+                counts[None], n_unique[None], g_total[None],
+                g_unique[None], g_dropped[None])
 
     fn = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("d", None), P("d")),
         out_specs=(P("d", None), P("d", None, None), P("d", None, None),
-                   P("d", None), P("d"), P("d"), P("d"), P("d")))
-    (uniq, lcnt, rcnt, first_idx, n_unique, g_total, g_unique,
+                   P("d", None), P("d", None), P("d"), P("d"), P("d"),
+                   P("d")))
+    (uniq, lcnt, rcnt, first_idx, counts, n_unique, g_total, g_unique,
      g_dropped) = fn(codes, lengths)
     stats = {"total_kmers": g_total[0], "unique_kmers": g_unique[0],
              "dropped": g_dropped[0]}
-    return uniq, lcnt, rcnt, first_idx, n_unique, stats
+    return uniq, lcnt, rcnt, first_idx, counts, n_unique, stats

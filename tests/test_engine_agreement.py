@@ -44,15 +44,17 @@ def test_aggregate_batch_jax_np_native_agree():
     import jax.numpy as jnp
     codes, lengths = _random_reads(300, 80, seed=11)
 
-    uj, lj, rj, fj, n_uniq, n_valid = G._aggregate_batch(
+    uj, lj, rj, fj, cj, n_uniq, n_valid = G._aggregate_batch(
         jnp.asarray(codes), jnp.asarray(lengths), K, jnp.int64(0))
     n_uniq = int(n_uniq)
     uj = np.asarray(uj[:n_uniq])
     lj = np.asarray(lj[:n_uniq])
     rj = np.asarray(rj[:n_uniq])
     fj = np.asarray(fj[:n_uniq])
+    cj = np.asarray(cj[:n_uniq])
 
-    un, ln, rn, fn, n_valid_np = G._aggregate_batch_np(codes, lengths, K, 0)
+    (un, ln, rn, fn, cn,
+     n_valid_np) = G._aggregate_batch_np(codes, lengths, K, 0)
 
     from dbg_assembly_tpu import native
     ni = native.NativeIngest(K)
@@ -69,6 +71,8 @@ def test_aggregate_batch_jax_np_native_agree():
     np.testing.assert_array_equal(rj, rk)
     np.testing.assert_array_equal(fj, fn)
     np.testing.assert_array_equal(fj, fk)
+    np.testing.assert_array_equal(cj, cn)
+    assert int(cj.sum()) == total
 
 
 @pytest.mark.parametrize("env", ["native", "DBG_PY_INGEST"])

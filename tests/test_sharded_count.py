@@ -84,7 +84,7 @@ def test_skewed_ingest_exact_edges():
     lengths = np.full(N, L, np.int32)
     m = meshmod.data_mesh(8)
     cs, ls = meshmod.shard_batch(m, codes, lengths)
-    uniq, lcnt, rcnt, first_idx, n_unique, stats = \
+    uniq, lcnt, rcnt, first_idx, counts, n_unique, stats = \
         count_sharded.graph_ingest_step_exact(cs, ls, ksize=k, mesh=m)
     assert int(stats["dropped"]) == 0
     from dbg_assembly_tpu.contig.graph import GraphBuilder

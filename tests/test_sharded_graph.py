@@ -20,8 +20,9 @@ def test_distributed_graph_ingest_matches_single_device():
     cs, ls = meshmod.shard_batch(m, codes, lengths)
     P = L - k + 1
     capacity = (N // 8) * P // 8 * 2 + 64
-    uniq, lcnt, rcnt, first_idx, n_unique, stats = count_sharded.graph_ingest_step(
-        cs, ls, 0, ksize=k, mesh=m, capacity=capacity)
+    uniq, lcnt, rcnt, first_idx, counts, n_unique, stats = \
+        count_sharded.graph_ingest_step(
+            cs, ls, 0, ksize=k, mesh=m, capacity=capacity)
 
     assert int(stats["dropped"]) == 0
     assert int(stats["total_kmers"]) == table.total_kmers

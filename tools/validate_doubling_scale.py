@@ -96,7 +96,7 @@ def main(genome_mb=4.6):
     workdir = "/tmp/doubling_scale"
     os.makedirs(workdir, exist_ok=True)
 
-    params = AssembleParams(ksize=K, init_hash_size=0.01)
+    params = AssembleParams(ksize=K, init_hash_size=0.02)
     hp = os.path.join(workdir, "exact")
     t0 = time.time()
     hs = RefAssembler(table, params).run(hp)
@@ -105,7 +105,7 @@ def main(genome_mb=4.6):
          f"(tips {hs.tips_removed}, lowedges {hs.lowedges_removed}, "
          f"bubbles {hs.bubbles_removed}, contigs {hs.contig_num})")
 
-    params2 = AssembleParams(ksize=K, init_hash_size=0.01)
+    params2 = AssembleParams(ksize=K, init_hash_size=0.02)
     dp = os.path.join(workdir, "dbl")
     t0 = time.time()
     ds = pd.assemble_doubling(table, params2, dp)
