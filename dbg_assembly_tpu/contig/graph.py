@@ -345,9 +345,8 @@ class GraphBuilder:
 
     def finalize(self) -> NodeTable:
         if self._native is not None:
-            kmers, lcnt, rcnt, fidx, total = self._native.extract()
-            ck, counts, _ = self._native.extract_counts()
-            assert np.array_equal(ck, kmers)
+            (kmers, lcnt, rcnt, fidx, counts,
+             total) = self._native.extract_full()
             self._native.close()
             self._native = None
             return NodeTable(kmers, lcnt, rcnt, fidx, total,

@@ -124,10 +124,11 @@ class _Graph:
                 (disp * counts[order].astype(np.int64)).sum())
         slot_of = np.full(M, -1, np.int64)
         slot_of[order] = slots
-        occupied = set(slots.tolist())
+        occupied = np.zeros(size, bool)
+        occupied[slots] = True
         pa = int(np.flatnonzero(is_polyA)[0])
         hc = int(native.jenkins64(np.uint64(0)) % np.uint64(size))
-        while hc in occupied:
+        while occupied[hc]:
             self.stats.hash_conflicts_occ += 1
             hc = 0 if hc + 1 == size else hc + 1
         slot_of[pa] = hc

@@ -221,10 +221,11 @@ class RefAssembler:
 
         # poly-A node: inserted LAST regardless of first occurrence
         # (add_node_to_kmerset probing from jenkins(0)%size)
-        occupied = set(slots.tolist())
+        occupied = np.zeros(size, bool)
+        occupied[slots] = True
         pa = int(np.flatnonzero(is_polyA)[0])
         hc = int(native.jenkins64(np.uint64(0)) % np.uint64(size))
-        while hc in occupied:
+        while occupied[hc]:
             self.stats.hash_conflicts_occ += 1
             hc = 0 if hc + 1 == size else hc + 1
         self.slot_of[pa] = hc
@@ -232,11 +233,10 @@ class RefAssembler:
         self.n_nodes = len(self.kmer) - 1     # excludes sentinel
         self.SENT_ID = self.n_nodes           # sentinel row index
 
-        # kmer -> node id lookup (exist_kmerset equivalent)
-        self.lookup = {int(k): i for i, k in enumerate(
-            self.kmer[:self.n_nodes])}
-        # poly-A key 0 maps to pa (normal table never stores kmer 0 twice)
-        self.lookup[0] = pa
+        # kmer -> node id lookup (exist_kmerset equivalent) — built lazily:
+        # only the Python replay path probes it, and materializing a
+        # multi-million-entry dict cost ~10 s the native engine never used
+        self._lookup = None
 
         self.deleted = np.zeros(self.n_nodes + 1, bool)
         # klink fields (+ sentinel row zeros)
@@ -255,6 +255,16 @@ class RefAssembler:
         ids = np.arange(self.n_nodes)
         self.slot_order = ids[np.argsort(self.slot_of[:self.n_nodes],
                                          kind="stable")]
+
+    @property
+    def lookup(self) -> dict:
+        if self._lookup is None:
+            self._lookup = {int(k): i for i, k in enumerate(
+                self.kmer[:self.n_nodes])}
+            # poly-A key 0 maps to the poly-A node (the normal table never
+            # stores kmer 0 twice)
+            self._lookup[0] = self.polyA_id
+        return self._lookup
 
     def exist(self, kmer: int) -> int:
         nid = self.lookup.get(kmer, self.SENT_ID)

@@ -379,7 +379,26 @@ def correct_batch_device(ascii_np, codes_np, lengths_np, bitmap_dev, params):
             ascii_seq, lengths, bitmap_dev, hs1, he1, num_h, accum, multi,
             fail, fallback, jnp.int32(i), jnp.int32(mc), k=k)
 
-    # ---- phase 5
+    # ---- phase 5 (one jit)
+    (ascii_seq, multi, deleted, trim_left, trim_right,
+     fallback) = _phase5(ascii_seq, lengths, bitmap_dev, hs1, he1, num_h,
+                         accum, multi, fail, fallback, k=k, mc=mc,
+                         ft=p.further_trim, min_len=p.min_read_len)
+
+    return (np.asarray(one), np.asarray(multi), np.asarray(deleted),
+            np.asarray(trim_left), np.asarray(trim_right),
+            np.asarray(ascii_seq), np.asarray(fallback))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "mc", "ft", "min_len"))
+def _phase5(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
+            fail, fallback, *, k: int, mc: int, ft: int, min_len: int):
+    """Phase 5 (correct.cpp:273-334) as one jitted program: head/tail BBT
+    from the max combined high region + Further_trim_len end safety."""
+    N = ascii_seq.shape[0]
+    Lr = lengths
+    bitmap_dev = bitmap
     max_s1, max_e1 = _max_combined(hs1, he1, num_h, fail)
     ok = ~fallback & (num_h > 0)
 
@@ -418,7 +437,6 @@ def correct_batch_device(ascii_np, codes_np, lengths_np, bitmap_dev, params):
     right_last = jnp.where(got_t, right_last, Lr + 1)
 
     # further end trimming (correct.cpp:317-328)
-    ft = p.further_trim
     tl_more = (trim_left > 0) | ((left_last > 0) & (left_last <= ft))
     trim_left = jnp.where(tl_more & ok, jnp.minimum(trim_left + ft, Lr),
                           trim_left)
@@ -431,11 +449,9 @@ def correct_batch_device(ascii_np, codes_np, lengths_np, bitmap_dev, params):
     trim_right = jnp.where(ok, trim_right, 0)
     deleted = jnp.where(
         num_h == 0, 1,
-        (Lr - trim_left - trim_right < p.min_read_len).astype(jnp.int32))
+        (Lr - trim_left - trim_right < min_len).astype(jnp.int32))
 
-    return (np.asarray(one), np.asarray(multi), np.asarray(deleted),
-            np.asarray(trim_left), np.asarray(trim_right),
-            np.asarray(ascii_seq), np.asarray(fallback))
+    return ascii_seq, multi, deleted, trim_left, trim_right, fallback
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

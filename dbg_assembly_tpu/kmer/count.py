@@ -142,6 +142,33 @@ def count_stats(sorted_kmers: jnp.ndarray, max_freq: int = 65535):
     return spectrum, n_unique, n_valid
 
 
+@functools.partial(jax.jit, static_argnames=("ksize", "max_freq", "block"))
+def count_spectrum_fast_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
+                               ksize: int, max_freq: int = 255,
+                               block: int = 1024):
+    """count_spectrum_fast with the Pallas fused chop kernel
+    (ops/pallas_chop.py): canonical k-mers are produced as (hi, lo)
+    uint32 planes natively on 32-bit VPU lanes (the XLA chop emulates
+    u64), pair-sorted with lax.sort(num_keys=2) and reduced with the
+    pair-plane stats.  Same contract as count_spectrum_fast.  TPU only
+    (use interpret mode elsewhere)."""
+    from ..ops import pallas_chop as pc
+    from . import stats as _stats
+    N, L = codes.shape
+    P = L - ksize + 1
+    hi, lo = pc.chop_canonical_pallas(codes, ksize, block=block)
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = pos < (lengths[:, None] - ksize + 1)
+    U32M = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(valid, hi, U32M).reshape(-1)
+    lo = jnp.where(valid, lo, U32M).reshape(-1)
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    spectrum, n_unique = _stats.spectrum_sorted_pair(hi, lo,
+                                                     max_freq=max_freq)
+    n_valid = jnp.sum(valid.astype(jnp.int64))
+    return spectrum, n_unique, n_valid
+
+
 def count_batch(codes: np.ndarray, lengths: np.ndarray, ksize: int):
     """Count canonical k-mers of one batch on the default device.
 

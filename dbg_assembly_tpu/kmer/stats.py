@@ -68,9 +68,26 @@ def spectrum_sorted(sorted_kmers: jnp.ndarray, max_freq: int = 255):
     Returns (spectrum [max_freq+1] int64, spectrum[0] == 0; n_unique i64).
     """
     x = sorted_kmers
-    n = x.shape[0]
     valid = x != SENTINEL
     first = jnp.concatenate([jnp.ones((1,), bool), x[1:] != x[:-1]]) & valid
+    return _spectrum_from_boundaries(first, valid, max_freq)
+
+
+@functools.partial(jax.jit, static_argnames=("max_freq",))
+def spectrum_sorted_pair(hi: jnp.ndarray, lo: jnp.ndarray,
+                         max_freq: int = 255):
+    """spectrum_sorted for k-mers kept as (hi, lo) uint32 planes (the
+    Pallas chop kernel's native output; pair-sorted with
+    lax.sort(num_keys=2), which orders identically to the u64 view)."""
+    U32M = jnp.uint32(0xFFFFFFFF)
+    valid = ~((hi == U32M) & (lo == U32M))
+    diff = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    first = jnp.concatenate([jnp.ones((1,), bool), diff]) & valid
+    return _spectrum_from_boundaries(first, valid, max_freq)
+
+
+def _spectrum_from_boundaries(first, valid, max_freq: int):
+    n = first.shape[0]
     to_invalid = jnp.concatenate([jnp.zeros((1,), bool),
                                   valid[:-1] & ~valid[1:]])
     boundary = first | to_invalid

@@ -52,6 +52,8 @@ def lib() -> ctypes.CDLL:
     _lib.ingest_total.restype = ctypes.c_int64
     _lib.ingest_total.argtypes = [ctypes.c_void_p]
     _lib.ingest_extract.restype = None
+    _lib.ingest_extract_full.restype = None
+    _lib.ingest_extract_counts.restype = None
     _lib.ingest_free.restype = None
     _lib.ingest_free.argtypes = [ctypes.c_void_p]
     _lib.mapidx_create.restype = ctypes.c_void_p
@@ -98,6 +100,25 @@ class NativeIngest:
             rcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return kmers, lcnt, rcnt, fidx, total
+
+    def extract_full(self):
+        """One-pass extraction: (kmers, lcnt, rcnt, first_idx, counts,
+        total) — single table sort."""
+        n = int(lib().ingest_size(self._h))
+        total = int(lib().ingest_total(self._h))
+        kmers = np.empty(n, np.uint64)
+        lcnt = np.empty((n, 4), np.int32)
+        rcnt = np.empty((n, 4), np.int32)
+        fidx = np.empty(n, np.int64)
+        counts = np.empty(n, np.int32)
+        lib().ingest_extract_full(
+            ctypes.c_void_p(self._h),
+            kmers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            lcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rcnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return kmers, lcnt, rcnt, fidx, counts, total
 
     def extract_counts(self):
         n = int(lib().ingest_size(self._h))
@@ -179,17 +200,26 @@ class NativeMapIndex:
 
 
 def jenkins64(x) -> np.ndarray:
-    """Vectorized Jenkins 64-bit hash (numpy; parity kmerSet.h:105-116)."""
+    """Vectorized Jenkins 64-bit hash (numpy; parity kmerSet.h:105-116).
+
+    Two allocations total (out + one temp): first-touch page faults on
+    fresh buffers cost ~12 us/page on this host, so the naive 8-temporary
+    form spent more time faulting than hashing at multi-million scale."""
     with np.errstate(over="ignore"):
-        k = np.asarray(x, dtype=np.uint64)
-        k = k + ~(k << np.uint64(32))
-        k = k ^ (k >> np.uint64(22))
-        k = k + ~(k << np.uint64(13))
-        k = k ^ (k >> np.uint64(8))
-        k = k + (k << np.uint64(3))
-        k = k ^ (k >> np.uint64(15))
-        k = k + ~(k << np.uint64(27))
-        k = k ^ (k >> np.uint64(31))
+        k = np.asarray(x, dtype=np.uint64).copy()
+        t = np.empty_like(k)
+        for sh, op, inv in ((32, "add", True), (22, "xor", False),
+                            (13, "add", True), (8, "xor", False),
+                            (3, "add", False), (15, "xor", False),
+                            (27, "add", True), (31, "xor", False)):
+            if op == "add":
+                np.left_shift(k, np.uint64(sh), out=t)
+                if inv:
+                    np.invert(t, out=t)
+                np.add(k, t, out=k)
+            else:
+                np.right_shift(k, np.uint64(sh), out=t)
+                np.bitwise_xor(k, t, out=k)
         return k
 
 

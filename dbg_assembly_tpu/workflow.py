@@ -35,6 +35,7 @@ class PipelineConfig:
     max_read_len: int = 250
     init_hash_size: float = 0.1
     contig_len_cutoff: int = 125
+    readout: str = "exact"      # "doubling" = scalable bulk assembler
     # scaffolding defaults (overridden per .para row)
     map_min_ctg: int = 125
     map_min_read: int = 250
@@ -92,7 +93,8 @@ def build_contigs(corrected: list[str], cfg: PipelineConfig,
                             init_hash_size=cfg.init_hash_size,
                             contig_len_cutoff=cfg.contig_len_cutoff)
     ctg.run(lib, prefix, ksize=cfg.contig_k, fmt=2,
-            max_read_len=cfg.max_read_len, params=params)
+            max_read_len=cfg.max_read_len, params=params,
+            readout=cfg.readout)
     return prefix + ".contig.seq.fa"
 
 

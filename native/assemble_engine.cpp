@@ -48,7 +48,6 @@ struct Engine {
     // hash for exist()
     const int64_t* slot_of;   // [n]
     uint64_t size;
-    std::vector<int32_t> slot_table;   // [size] node id or -1
 
     // link state
     std::vector<int8_t> l_num, l_base, r_num, r_base;
@@ -84,31 +83,45 @@ struct Engine {
         return kk;
     }
 
-    uint64_t revcomp(uint64_t kbit) const {
-        uint64_t out = 0;
-        for (int i = 0; i < k; i++) {
-            out = (out << 2) | (3ULL - (kbit & 3ULL));
-            kbit >>= 2;
-        }
-        return out;
+    // bit-parallel reverse complement (complement = ~x per 2-bit unit,
+    // then reverse the 2-bit units and right-align) — the walk hot loops
+    // call this once per step; the naive k-iteration shift loop was ~2x
+    // of the whole walk cost at k=31
+    uint64_t revcomp(uint64_t v) const {
+        v = ~v;
+        v = ((v >> 2) & 0x3333333333333333ULL) |
+            ((v & 0x3333333333333333ULL) << 2);
+        v = ((v >> 4) & 0x0F0F0F0F0F0F0F0FULL) |
+            ((v & 0x0F0F0F0F0F0F0F0FULL) << 4);
+        v = __builtin_bswap64(v);
+        return v >> (64 - 2 * k);
     }
 
     // exist_kmerset equivalent: probe the emulated layout; deleted -> n.
+    // Key and node id live in ONE 16-byte slot (like the reference's
+    // KmerNode array, kmerSet.h:70-75) so a probe is a single random
+    // cache-line access instead of slot->id->key double indirection.
+    struct Slot { uint64_t key; int32_t nid; int32_t pad; };
+    std::vector<Slot> slots_;
+
     int64_t exist(uint64_t key) const {
         uint64_t hc = jenkins(key) % size;
         while (true) {
-            int32_t nid = slot_table[hc];
-            if (nid < 0) return n;
-            if (kmer[nid] == key) return deleted[nid] ? n : nid;
+            const Slot& s = slots_[hc];
+            if (s.nid < 0) return n;
+            if (s.key == key) return deleted[s.nid] ? n : s.nid;
             hc++;
             if (hc == size) hc = 0;
         }
     }
 
     void build_slot_table() {
-        slot_table.assign(size, -1);
+        slots_.assign(size, Slot{0, -1, 0});
         for (int64_t i = 0; i < n; i++)
-            if (slot_of[i] >= 0) slot_table[slot_of[i]] = (int32_t)i;
+            if (slot_of[i] >= 0) {
+                slots_[slot_of[i]].key = kmer[i];
+                slots_[slot_of[i]].nid = (int32_t)i;
+            }
     }
 
     // ------------------------------------------------------------- klinks

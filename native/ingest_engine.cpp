@@ -8,9 +8,13 @@
 // canonical k-mer = min(fwd, rc) (DBGgraph.cpp:80-89 rule), strand-adjusted
 // left/right neighbor-base counters, first-occurrence stream index.
 //
-// The table is a power-of-two open-addressing hash (own implementation;
-// the reference uses a prime-size CAS table — we only need the aggregate,
-// not its layout, which RefAssembler emulates separately from first_idx).
+// The table is a power-of-two open-addressing hash with nodes stored
+// INLINE in the slot array (count == 0 marks an empty slot), so a probe
+// and the counter update touch one cache line — the earlier
+// slot-index -> node-vector indirection paid two random accesses per
+// probe and dominated ingest wall time.  (Own design; the reference uses
+// a prime-size CAS table — we only need the aggregate, not its layout,
+// which RefAssembler emulates separately from first_idx.)
 
 #include <cstdint>
 #include <cstdio>
@@ -24,16 +28,15 @@ namespace ingest {
 struct Node {
     uint64_t kmer;
     int64_t first_idx;
-    int32_t count;       // occurrence count (k-mer individuals)
+    int32_t count;       // occurrence count; 0 = slot empty
     int32_t lcnt[4];
     int32_t rcnt[4];
 };
 
 struct Table {
-    // slot array: index into nodes + 1 (0 = empty)
-    std::vector<uint32_t> slots;
-    std::vector<Node> nodes;
-    uint64_t mask;       // slots.size() - 1
+    std::vector<Node> slots;   // open addressing, nodes inline
+    uint64_t mask;             // slots.size() - 1
+    uint64_t n_nodes;
     int k;
     uint64_t kmask;
     int64_t n_valid_total;
@@ -51,50 +54,38 @@ struct Table {
         kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
         uint64_t s = 1024;
         while (s < cap * 2) s <<= 1;
-        slots.assign(s, 0);
+        slots.assign(s, Node{0, 0, 0, {0, 0, 0, 0}, {0, 0, 0, 0}});
         mask = s - 1;
-        nodes.clear();
-        nodes.reserve(cap);
+        n_nodes = 0;
         n_valid_total = 0;
     }
 
     void grow() {
         uint64_t ns = (mask + 1) << 1;
-        std::vector<uint32_t> fresh(ns, 0);
+        std::vector<Node> fresh(ns, Node{0, 0, 0, {0, 0, 0, 0},
+                                         {0, 0, 0, 0}});
         uint64_t nm = ns - 1;
-        for (uint64_t i = 0; i < nodes.size(); i++) {
-            uint64_t hc = hash(nodes[i].kmer) & nm;
-            while (fresh[hc]) hc = (hc + 1) & nm;
-            fresh[hc] = (uint32_t)(i + 1);
+        for (uint64_t i = 0; i <= mask; i++) {
+            if (slots[i].count == 0) continue;
+            uint64_t hc = hash(slots[i].kmer) & nm;
+            while (fresh[hc].count) hc = (hc + 1) & nm;
+            fresh[hc] = slots[i];
         }
         slots.swap(fresh);
         mask = nm;
     }
 
     inline Node* upsert(uint64_t key, int64_t sidx) {
-        // slots hold uint32 node-index+1: abort before the index space
-        // overflows and silently aliases distinct k-mers (ADVICE round 1)
-        if (nodes.size() >= 0xFFFFFFFEULL) {
-            fprintf(stderr, "ingest_engine: >4.29e9 distinct k-mers exceeds "
-                            "the 32-bit node index space\n");
-            abort();
-        }
-        if ((nodes.size() + 1) * 10 > (mask + 1) * 7) grow();
+        if ((n_nodes + 1) * 10 > (mask + 1) * 7) grow();
         uint64_t hc = hash(key) & mask;
         while (true) {
-            uint32_t s = slots[hc];
-            if (s == 0) {
-                slots[hc] = (uint32_t)(nodes.size() + 1);
-                nodes.push_back(Node());
-                Node* nd = &nodes.back();
+            Node* nd = &slots[hc];
+            if (nd->count == 0) {
                 nd->kmer = key;
                 nd->first_idx = sidx;
-                nd->count = 0;
-                memset(nd->lcnt, 0, sizeof(nd->lcnt));
-                memset(nd->rcnt, 0, sizeof(nd->rcnt));
+                n_nodes++;
                 return nd;
             }
-            Node* nd = &nodes[s - 1];
             if (nd->kmer == key) return nd;
             hc = (hc + 1) & mask;
         }
@@ -144,6 +135,19 @@ struct Table {
             n_valid_total += np;
         }
     }
+
+    // occupied slot indices sorted by k-mer value
+    std::vector<uint64_t> sorted_occupied() const {
+        std::vector<uint64_t> order;
+        order.reserve(n_nodes);
+        for (uint64_t i = 0; i <= mask; i++)
+            if (slots[i].count) order.push_back(i);
+        std::sort(order.begin(), order.end(),
+                  [&](uint64_t a, uint64_t b) {
+                      return slots[a].kmer < slots[b].kmer;
+                  });
+        return order;
+    }
 };
 
 }  // namespace ingest
@@ -162,7 +166,7 @@ void ingest_add(void* h, const uint8_t* codes, int64_t N, int L,
 }
 
 int64_t ingest_size(void* h) {
-    return (int64_t)((ingest::Table*)h)->nodes.size();
+    return (int64_t)((ingest::Table*)h)->n_nodes;
 }
 
 int64_t ingest_total(void* h) {
@@ -173,16 +177,29 @@ int64_t ingest_total(void* h) {
 void ingest_extract(void* h, uint64_t* kmers, int32_t* lcnt, int32_t* rcnt,
                     int64_t* first_idx) {
     ingest::Table* t = (ingest::Table*)h;
-    int64_t n = (int64_t)t->nodes.size();
-    std::vector<int64_t> order(n);
-    for (int64_t i = 0; i < n; i++) order[i] = i;
-    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-        return t->nodes[a].kmer < t->nodes[b].kmer;
-    });
-    for (int64_t i = 0; i < n; i++) {
-        const ingest::Node& nd = t->nodes[order[i]];
+    std::vector<uint64_t> order = t->sorted_occupied();
+    for (uint64_t i = 0; i < order.size(); i++) {
+        const ingest::Node& nd = t->slots[order[i]];
         kmers[i] = nd.kmer;
         first_idx[i] = nd.first_idx;
+        for (int j = 0; j < 4; j++) {
+            lcnt[4 * i + j] = nd.lcnt[j];
+            rcnt[4 * i + j] = nd.rcnt[j];
+        }
+    }
+}
+
+// everything in one pass (single sort); buffers sized by ingest_size()
+void ingest_extract_full(void* h, uint64_t* kmers, int32_t* lcnt,
+                         int32_t* rcnt, int64_t* first_idx,
+                         int32_t* counts) {
+    ingest::Table* t = (ingest::Table*)h;
+    std::vector<uint64_t> order = t->sorted_occupied();
+    for (uint64_t i = 0; i < order.size(); i++) {
+        const ingest::Node& nd = t->slots[order[i]];
+        kmers[i] = nd.kmer;
+        first_idx[i] = nd.first_idx;
+        counts[i] = nd.count;
         for (int j = 0; j < 4; j++) {
             lcnt[4 * i + j] = nd.lcnt[j];
             rcnt[4 * i + j] = nd.rcnt[j];
@@ -193,14 +210,9 @@ void ingest_extract(void* h, uint64_t* kmers, int32_t* lcnt, int32_t* rcnt,
 // counts-only extraction (kmerfreq path); buffers sized by ingest_size()
 void ingest_extract_counts(void* h, uint64_t* kmers, int32_t* counts) {
     ingest::Table* t = (ingest::Table*)h;
-    int64_t n = (int64_t)t->nodes.size();
-    std::vector<int64_t> order(n);
-    for (int64_t i = 0; i < n; i++) order[i] = i;
-    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
-        return t->nodes[a].kmer < t->nodes[b].kmer;
-    });
-    for (int64_t i = 0; i < n; i++) {
-        const ingest::Node& nd = t->nodes[order[i]];
+    std::vector<uint64_t> order = t->sorted_occupied();
+    for (uint64_t i = 0; i < order.size(); i++) {
+        const ingest::Node& nd = t->slots[order[i]];
         kmers[i] = nd.kmer;
         counts[i] = nd.count;
     }

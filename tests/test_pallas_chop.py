@@ -26,3 +26,23 @@ def test_pallas_chop_matches_xla(ksize):
                                           block=32)
     got = np.asarray(pc.combine_u64(hi, lo))
     assert np.array_equal(got, can)
+
+
+def test_pallas_count_pipeline_matches_xla():
+    """count_spectrum_fast_pallas (fused chop + pair sort + pair stats)
+    must equal the XLA fast pipeline exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from dbg_assembly_tpu.kmer import count as kc
+
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 4, size=(300, 80), dtype=np.uint8)
+    lengths = rng.integers(31, 81, size=300).astype(np.int32)
+    s1, u1, v1 = kc.count_spectrum_fast(jnp.asarray(codes),
+                                        jnp.asarray(lengths), 31)
+    with pltpu.force_tpu_interpret_mode():
+        s2, u2, v2 = kc.count_spectrum_fast_pallas(
+            jnp.asarray(codes), jnp.asarray(lengths), 31, block=64)
+    assert int(u1) == int(u2) and int(v1) == int(v2)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))

@@ -162,6 +162,17 @@ def variant_fast(batch):
     return step
 
 
+def variant_fastp(batch):
+    """Pallas fused chop + pair sort + pair stats."""
+    from dbg_assembly_tpu.kmer import count as kc
+
+    def step(c, l_):
+        spectrum, n_unique, n_valid = kc.count_spectrum_fast_pallas(
+            c, l_, KSIZE)
+        return spectrum[1] + n_unique + n_valid
+    return step
+
+
 def variant_sortpair32(batch):
     """Chop + lax.sort of the u64 keys split into (hi, lo) u32 operands:
     does comparator key width drive the monolithic sort cost?"""
@@ -238,6 +249,8 @@ def main():
             step = variant_sortpair32(args.batch)
         elif name == "fast":
             step = variant_fast(args.batch)
+        elif name == "fastp":
+            step = variant_fastp(args.batch)
         elif name == "cummin":
             step = variant_cummin(args.batch)
         elif name == "hist":
