@@ -200,8 +200,8 @@ def _aggregate_batch_np(codes: np.ndarray, lengths: np.ndarray, ksize: int,
 class NodeTable:
     """Aggregated de Bruijn node table, sorted by k-mer value."""
     kmers: np.ndarray       # [M] uint64 canonical, sorted ascending
-    lcnt: np.ndarray        # [M, 4] int32 (saturate to 255 at use site)
-    rcnt: np.ndarray        # [M, 4] int32
+    lcnt: np.ndarray        # [M, 4] int32, SATURATED at 255 (the
+    rcnt: np.ndarray        # reference's 8-bit counters, kmerSet.cpp:341)
     first_idx: np.ndarray   # [M] int64 first-occurrence stream position
     total_kmers: int = 0
     total_reads: int = 0
@@ -358,6 +358,10 @@ class GraphBuilder:
                              counts=np.zeros(0, np.int32))
         self.parts = _merge_parts(self.parts)
         u, l_, r, f, c = self.parts[0]
+        # saturation applies at the END of the merge chain: min(total, 255)
+        # equals the native/reference per-increment saturating add
+        np.minimum(l_, 255, out=l_)
+        np.minimum(r, 255, out=r)
         return NodeTable(u, l_, r, f, self.total_kmers, self.total_reads,
                          counts=c)
 

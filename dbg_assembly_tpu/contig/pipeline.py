@@ -48,15 +48,26 @@ def run(lib_file: str, prefix: str, ksize: int = 31, fmt: int = 1,
         log.parameters()
         log.hash_init()
     gb = GraphBuilder(ksize, max_read_len)
-    for path in files:
-        batch = fastq.read_batch(path, fmt="fq" if fmt == 1 else "fa",
-                                 strict_n=False, keep_heads=False)
-        if log:
-            log.file_start(path)
-            log.file_blocks(np.minimum(batch.lengths, max_read_len),
-                            ksize)
-            log.file_end()
-        gb.add(batch.codes, batch.lengths)
+    # file-level pipeline parallelism (SURVEY P3): the gz decode of file
+    # i+1 overlaps the native ingest of file i (both release the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _read(path):
+        return fastq.read_batch(path, fmt="fq" if fmt == 1 else "fa",
+                                strict_n=False, keep_heads=False)
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(_read, files[0]) if files else None
+        for i, path in enumerate(files):
+            batch = fut.result()
+            if i + 1 < len(files):
+                fut = ex.submit(_read, files[i + 1])
+            if log:
+                log.file_start(path)
+                log.file_blocks(np.minimum(batch.lengths, max_read_len),
+                                ksize)
+                log.file_end()
+            gb.add(batch.codes, batch.lengths)
     table = gb.finalize()
     if readout == "doubling":
         from .pointer_doubling import assemble_doubling

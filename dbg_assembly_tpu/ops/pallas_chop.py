@@ -80,22 +80,32 @@ def _chop_kernel(codes_ref, hi_ref, lo_ref, *, ksize: int, P: int):
 @functools.partial(jax.jit, static_argnames=("ksize", "block"))
 def chop_canonical_pallas(codes: jnp.ndarray, ksize: int,
                           block: int = 1024):
-    """[N, L] uint8 codes -> canonical k-mers as (hi, lo) uint32 [N, P]."""
+    """[N, L] uint8 codes -> canonical k-mers as (hi, lo) uint32 [N, P].
+
+    Internally pads the window axis to the 128-lane tile (Mosaic requires
+    lane-aligned minor dimensions); padded positions compute garbage that
+    the caller's validity mask already covers, and the returned planes are
+    sliced back to [N, P]."""
     N, L = codes.shape
     P = L - ksize + 1
+    Pp = -(-P // 128) * 128
+    Lp = Pp + ksize - 1
+    if Lp > L:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((N, Lp - L), codes.dtype)], axis=1)
     grid = (pl.cdiv(N, block),)
-    out_shape = [jax.ShapeDtypeStruct((N, P), jnp.uint32)] * 2
-    kern = functools.partial(_chop_kernel, ksize=ksize, P=P)
+    out_shape = [jax.ShapeDtypeStruct((N, Pp), jnp.uint32)] * 2
+    kern = functools.partial(_chop_kernel, ksize=ksize, P=Pp)
     hi, lo = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec((block, L), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block, Lp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((block, P), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((block, Pp), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=out_shape,
     )(codes)
-    return hi, lo
+    return hi[:, :P], lo[:, :P]
 
 
 def combine_u64(hi, lo):

@@ -29,8 +29,10 @@ struct Node {
     uint64_t kmer;
     int64_t first_idx;
     int32_t count;       // occurrence count; 0 = slot empty
-    int32_t lcnt[4];
-    int32_t rcnt[4];
+    uint32_t l;          // 4x8-bit saturating edge counters (byte b =
+    uint32_t r;          // base b) — the reference's own counter format
+                         // (BitAddVal, DBGgraph.cpp:93-96); 32-byte node
+                         // = one probe+update per cache line
 };
 
 struct Table {
@@ -54,7 +56,7 @@ struct Table {
         kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
         uint64_t s = 1024;
         while (s < cap * 2) s <<= 1;
-        slots.assign(s, Node{0, 0, 0, {0, 0, 0, 0}, {0, 0, 0, 0}});
+        slots.assign(s, Node{0, 0, 0, 0, 0});
         mask = s - 1;
         n_nodes = 0;
         n_valid_total = 0;
@@ -62,8 +64,7 @@ struct Table {
 
     void grow() {
         uint64_t ns = (mask + 1) << 1;
-        std::vector<Node> fresh(ns, Node{0, 0, 0, {0, 0, 0, 0},
-                                         {0, 0, 0, 0}});
+        std::vector<Node> fresh(ns, Node{0, 0, 0, 0, 0});
         uint64_t nm = ns - 1;
         for (uint64_t i = 0; i <= mask; i++) {
             if (slots[i].count == 0) continue;
@@ -129,8 +130,10 @@ struct Table {
                 }
                 Node* nd = upsert(can, sbase + j);
                 nd->count++;
-                if (left < 4) nd->lcnt[left]++;
-                if (right < 4) nd->rcnt[right]++;
+                if (left < 4 && ((nd->l >> (8 * left)) & 0xFFu) < 255u)
+                    nd->l += 1u << (8 * left);
+                if (right < 4 && ((nd->r >> (8 * right)) & 0xFFu) < 255u)
+                    nd->r += 1u << (8 * right);
             }
             n_valid_total += np;
         }
@@ -183,8 +186,8 @@ void ingest_extract(void* h, uint64_t* kmers, int32_t* lcnt, int32_t* rcnt,
         kmers[i] = nd.kmer;
         first_idx[i] = nd.first_idx;
         for (int j = 0; j < 4; j++) {
-            lcnt[4 * i + j] = nd.lcnt[j];
-            rcnt[4 * i + j] = nd.rcnt[j];
+            lcnt[4 * i + j] = (int32_t)((nd.l >> (8 * j)) & 0xFFu);
+            rcnt[4 * i + j] = (int32_t)((nd.r >> (8 * j)) & 0xFFu);
         }
     }
 }
@@ -201,8 +204,8 @@ void ingest_extract_full(void* h, uint64_t* kmers, int32_t* lcnt,
         first_idx[i] = nd.first_idx;
         counts[i] = nd.count;
         for (int j = 0; j < 4; j++) {
-            lcnt[4 * i + j] = nd.lcnt[j];
-            rcnt[4 * i + j] = nd.rcnt[j];
+            lcnt[4 * i + j] = (int32_t)((nd.l >> (8 * j)) & 0xFFu);
+            rcnt[4 * i + j] = (int32_t)((nd.r >> (8 * j)) & 0xFFu);
         }
     }
 }

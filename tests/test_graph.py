@@ -72,3 +72,37 @@ def test_graph_builder_respects_max_read_len():
     oracle = naive_table(codes, lengths, k, max_read_len=20)
     assert t.n_nodes == len(oracle)
     assert t.total_kmers == 10 * (20 - k + 1)
+
+
+def test_edge_counter_saturation_matches_reference_semantics():
+    """Edge counters saturate at 255 (the reference's 8-bit BitAddVal adds,
+    kmerSet.cpp:341); occurrence counts stay exact.  All ingest paths must
+    agree on the saturated values."""
+    import numpy as np
+    from dbg_assembly_tpu.contig.graph import GraphBuilder
+
+    k = 13
+    read = np.tile(np.array([0, 1, 2, 3, 1, 0, 3, 2], np.uint8), 8)[:60]
+    codes = np.tile(read, (400, 1))          # one read x400 -> counts 400
+    lengths = np.full(400, 60, np.int32)
+
+    gb_native = GraphBuilder(k)              # CPU backend -> native engine
+    gb_native.add(codes, lengths)
+    t1 = gb_native.finalize()
+
+    import os
+    os.environ["DBG_PY_INGEST"] = "1"
+    try:
+        gb_np = GraphBuilder(k)              # numpy aggregate path
+        gb_np.add(codes, lengths)
+        t2 = gb_np.finalize()
+    finally:
+        del os.environ["DBG_PY_INGEST"]
+
+    assert t1.lcnt.max() == 255 and t1.lcnt.max() <= 255
+    assert np.array_equal(t1.kmers, t2.kmers)
+    assert np.array_equal(t1.lcnt, t2.lcnt)
+    assert np.array_equal(t1.rcnt, t2.rcnt)
+    assert np.array_equal(t1.counts, t2.counts)
+    # the periodic read yields 12 occurrences per species per read
+    assert t1.counts.max() == 4800           # occurrence counts exact

@@ -96,7 +96,11 @@ def test_skewed_ingest_exact_edges():
     nu = np.asarray(n_unique)
     for d in range(un.shape[0]):
         for i in range(int(nu[d])):
-            got_edges[int(un[d, i])] = (ln_[d, i].tolist(), rn[d, i].tolist())
+            # raw step outputs are unsaturated; NodeTable-level
+            # saturation (min 255) applies at GraphBuilder.finalize
+            got_edges[int(un[d, i])] = (
+                np.minimum(ln_[d, i], 255).tolist(),
+                np.minimum(rn[d, i], 255).tolist())
     ref_edges = {int(u): (l.tolist(), r.tolist())
                  for u, l, r in zip(ref.kmers, ref.lcnt, ref.rcnt)}
     assert got_edges == ref_edges
