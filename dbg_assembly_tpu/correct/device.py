@@ -69,6 +69,17 @@ def _probe(bitmap, idx):
 @functools.partial(jax.jit, static_argnames=("k", "m", "max_change"))
 def _stage_a(ascii_seq, codes, lengths, bitmap, *, k: int, m: int,
              max_change: int):
+    return _stage_a_impl(ascii_seq, codes, lengths,
+                         lambda idx: _probe(bitmap, idx),
+                         k=k, m=m, max_change=max_change)
+
+
+def _stage_a_impl(ascii_seq, codes, lengths, probe, *, k: int, m: int,
+                  max_change: int):
+    """Stage A body with the table lookup abstracted as probe(idx)->bool:
+    the single-device path closes over an HBM-resident bitmap (_probe);
+    correct/sharded.py passes a collective probe over a mesh-sharded
+    table (SURVEY P4: the 4^k-bit table lives sharded in HBM)."""
     N, L = codes.shape
     P = L - k + 1
     Lr = lengths.astype(jnp.int32)
@@ -78,7 +89,7 @@ def _stage_a(ascii_seq, codes, lengths, bitmap, *, k: int, m: int,
     kmers = dna.rolling_kmers(codes_sq, k)             # [N, P] uint64
     pos = jnp.arange(P, dtype=jnp.int32)[None, :]
     valid = pos < kn[:, None]
-    bits = _probe(bitmap, kmers) & valid               # [N, P] phase 1
+    bits = probe(kmers) & valid                        # [N, P] phase 1
 
     # ---- region extraction (get_cont_kmerfreq_region, correct.cpp:16-69)
     prev = jnp.concatenate([~bits[:, :1], bits[:, :-1]], axis=1)
@@ -117,7 +128,7 @@ def _stage_a(ascii_seq, codes, lengths, bitmap, *, k: int, m: int,
     cleared = km & ~(jnp.uint64(3) << shift)
     bases = jnp.arange(4, dtype=jnp.uint64)[None, None, :, None]
     kmod = cleared[:, :, None, :] | (bases << shift[:, :, None, :])
-    hits = _probe(bitmap, kmod)                                # [N,C,4,k]
+    hits = probe(kmod)                                         # [N,C,4,k]
     bases_ascii = jnp.asarray(_BASES_NP)
     diff = bases_ascii[None, None, :] != orig_ascii[:, :, None]
     succ_b = jnp.all(hits, axis=3) & diff                      # [N,C,4]
