@@ -191,7 +191,9 @@ class RefAssembler:
         M = len(kmers)
         is_polyA = kmers == 0
         normal = np.flatnonzero(~is_polyA)
-        order = normal[np.argsort(first_idx[normal], kind="stable")]
+        # first_idx values are distinct; native LSD radix argsort is
+        # stable and ~6x numpy's comparison argsort at 5M nodes
+        order = normal[native.radix_argsort_u64(first_idx[normal])]
         if len(order) > int(size * p.load_factor):
             raise RuntimeError(
                 f"node table ({len(order)}) exceeds hash capacity "
@@ -251,10 +253,12 @@ class RefAssembler:
         self.in_lowedge = np.zeros(n1, bool)
         self.in_repeat = np.zeros(n1, bool)
 
-        # slot order for iteration (ascending slot)
-        ids = np.arange(self.n_nodes)
-        self.slot_order = ids[np.argsort(self.slot_of[:self.n_nodes],
-                                         kind="stable")]
+        # slot order for iteration (ascending slot): slots are distinct,
+        # so inverting by dense scatter (occ[slot] = id, then compact)
+        # replaces a 5M-element argsort with one O(size) pass
+        occ_node = np.full(size, -1, np.int64)
+        occ_node[self.slot_of[:self.n_nodes]] = np.arange(self.n_nodes)
+        self.slot_order = occ_node[occ_node >= 0]
 
     @property
     def lookup(self) -> dict:

@@ -36,6 +36,7 @@ def lib() -> ctypes.CDLL:
     _lib.find_next_prime.argtypes = [ctypes.c_uint64]
     _lib.hash_layout.restype = ctypes.c_int64
     _lib.stdsort_perm_desc.restype = None
+    _lib.radix_argsort_u64.restype = None
     _lib.gcc44_sort_perm_desc.restype = None
     _lib.correct_batch.restype = None
     _lib.assemble_run.restype = ctypes.c_int
@@ -49,6 +50,8 @@ def lib() -> ctypes.CDLL:
                                 ctypes.c_int64]
     _lib.ingest_size.restype = ctypes.c_int64
     _lib.ingest_size.argtypes = [ctypes.c_void_p]
+    _lib.ingest_reserve.restype = None
+    _lib.ingest_reserve.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     _lib.ingest_total.restype = ctypes.c_int64
     _lib.ingest_total.argtypes = [ctypes.c_void_p]
     _lib.ingest_extract.restype = None
@@ -85,6 +88,14 @@ class NativeIngest:
                          ctypes.c_int(c.shape[1]),
                          ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                          ctypes.c_int64(base_index))
+
+    def n_nodes(self) -> int:
+        return int(lib().ingest_size(self._h))
+
+    def reserve(self, expected_nodes: int) -> None:
+        """Pre-size the table (one rehash now instead of several doublings
+        mid-stream; a large table is harmless — load just drops)."""
+        lib().ingest_reserve(self._h, ctypes.c_uint64(expected_nodes))
 
     def extract(self):
         n = int(lib().ingest_size(self._h))
@@ -319,6 +330,19 @@ def assemble_run(kmer: np.ndarray, lcnt: np.ndarray, rcnt: np.ndarray,
         raise OSError(f"assemble_engine could not open an output file "
                       f"under prefix {prefix!r} (see stderr)")
     return stats
+
+
+def radix_argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Ascending argsort of uint64/int64 keys via native LSD radix
+    (stable; ~8x numpy's comparison argsort at the 5M-node scale of
+    RefAssembler._build_hash)."""
+    k = np.ascontiguousarray(keys, np.uint64)
+    out = np.empty(len(k), np.int64)
+    lib().radix_argsort_u64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(len(k)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
 
 
 def stdsort_perm_desc(lens: np.ndarray) -> np.ndarray:

