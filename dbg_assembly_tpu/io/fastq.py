@@ -94,6 +94,18 @@ def read_batch(path: str, fmt: str | None = None, strict_n: bool = False,
         fmt = "fa"
     elif data[:1] == b"@":
         fmt = "fq"
+    if os.environ.get("DBG_PY_FASTQ") != "1":
+        # native single-pass parser (native/fastq_engine.cpp): the
+        # per-record numpy loop below costs ~11 us/record, which made
+        # file decode the largest cost of the contig/map stages
+        from .. import native
+        codes, qarr, lens32, hoff, hlen, aarr = native.fastq_parse(
+            data, fq=(fmt == "fq"), strict_n=strict_n, max_len=max_len,
+            keep_ascii=keep_ascii)
+        heads = [data[o:o + l] for o, l in zip(hoff, hlen)] \
+            if keep_heads else []
+        return ReadBatch(codes=codes, quals=qarr, lengths=lens32,
+                         heads=heads, seqs_ascii=aarr)
     lines = data.split(b"\n")
     heads, seqs, quals = [], [], []
     for h, s, q in _records_from_lines(lines, fmt):
@@ -116,7 +128,8 @@ def read_batch(path: str, fmt: str | None = None, strict_n: bool = False,
         if aarr is not None:
             aarr[i, :L] = sb
         if q:
-            qarr[i, :L] = np.frombuffer(q, dtype=np.uint8, count=min(len(q), L))
+            ql = min(len(q), L)
+            qarr[i, :ql] = np.frombuffer(q, dtype=np.uint8, count=ql)
     return ReadBatch(codes=codes, quals=qarr,
                      lengths=np.minimum(lens, Lmax).astype(np.int32),
                      heads=heads if keep_heads else [],

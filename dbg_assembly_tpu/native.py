@@ -15,7 +15,8 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SO = os.path.join(_ROOT, "native", "build", "libdbg_native.so")
 _SRCS = [os.path.join(_ROOT, "native", f)
          for f in ("dbg_native.cpp", "correct_engine.cpp",
-                   "assemble_engine.cpp", "ingest_engine.cpp", "map_engine.cpp")]
+                   "assemble_engine.cpp", "ingest_engine.cpp",
+                   "map_engine.cpp", "fastq_engine.cpp")]
 
 _lib = None
 
@@ -69,6 +70,8 @@ def lib() -> ctypes.CDLL:
     _lib.mapidx_nkmers.restype = ctypes.c_int64
     _lib.mapidx_nkmers.argtypes = [ctypes.c_void_p]
     _lib.mapidx_map.restype = None
+    _lib.fastq_scan.restype = None
+    _lib.fastq_fill.restype = None
     return _lib
 
 
@@ -208,6 +211,41 @@ class NativeMapIndex:
             self.close()
         except Exception:
             pass
+
+
+def fastq_parse(data: bytes, fq: bool, strict_n: bool = False,
+                max_len: int | None = None, keep_ascii: bool = False):
+    """Parse a decompressed one-line FASTQ/FASTA buffer into padded
+    arrays (native/fastq_engine.cpp; record-selection parity with
+    io/fastq.py:_records_from_lines).  Returns (codes, quals, lengths,
+    head_off, head_len, ascii_or_None)."""
+    buf = np.frombuffer(data, np.uint8)
+    p = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n_rec = ctypes.c_int64()
+    mx = ctypes.c_int64()
+    lib().fastq_scan(p, ctypes.c_int64(len(buf)), ctypes.c_int(int(fq)),
+                     ctypes.byref(n_rec), ctypes.byref(mx))
+    n, Lmax = n_rec.value, mx.value
+    if max_len is not None:
+        Lmax = min(Lmax, max_len)
+    codes = np.empty((n, Lmax), np.uint8)
+    quals = np.empty((n, Lmax), np.uint8) if fq else np.zeros(
+        (n, Lmax), np.uint8)
+    aarr = np.empty((n, Lmax), np.uint8) if keep_ascii else None
+    lengths = np.empty(n, np.int32)
+    hoff = np.empty(n, np.int64)
+    hlen = np.empty(n, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib().fastq_fill(
+        p, ctypes.c_int64(len(buf)), ctypes.c_int(int(fq)),
+        ctypes.c_int64(Lmax), ctypes.c_int(int(strict_n)),
+        codes.ctypes.data_as(u8p),
+        quals.ctypes.data_as(u8p) if fq else None,
+        aarr.ctypes.data_as(u8p) if aarr is not None else None,
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hoff.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        hlen.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return codes, quals, lengths, hoff, hlen, aarr
 
 
 def jenkins64(x) -> np.ndarray:

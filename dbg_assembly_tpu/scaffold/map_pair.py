@@ -106,10 +106,17 @@ def _map_pair_files(f1: str, f2: str, ix, ids, clens, out_dir: str,
                     ksize: int, seed_kmer_num: int, min_read_len: int,
                     min_identity: float, fmt: int) -> None:
     lead = b"@" if fmt == 1 else b">"
-    b1 = fastq.read_batch(f1, fmt="fq" if fmt == 1 else "fa",
-                          strict_n=False, keep_ascii=True)
-    b2 = fastq.read_batch(f2, fmt="fq" if fmt == 1 else "fa",
-                          strict_n=False, keep_ascii=True)
+    # the pair's gz decodes run concurrently (zlib releases the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fu1 = ex.submit(fastq.read_batch, f1,
+                        fmt="fq" if fmt == 1 else "fa",
+                        strict_n=False, keep_ascii=True)
+        fu2 = ex.submit(fastq.read_batch, f2,
+                        fmt="fq" if fmt == 1 else "fa",
+                        strict_n=False, keep_ascii=True)
+        b1 = fu1.result()
+        b2 = fu2.result()
     n = min(b1.n_reads, b2.n_reads)
 
     len1 = b1.lengths.astype(np.int64)
