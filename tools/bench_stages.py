@@ -139,7 +139,7 @@ def mode_tpu(n_reads, iters=8):
         return (jnp.sum(one + multi + deleted + tl + tr)
                 + jnp.sum(fb) + a2[0, 0].astype(jnp.int64))
 
-    rate = _time_step(correct_step, (ab, cb, lb), iters, roll_axis=0)
+    rate = _time_step(correct_step, (ab, cb, lb), iters)
     print(json.dumps({
         "metric": "device_corrected_reads_per_sec",
         "value": round(n_reads / rate, 1), "unit": "reads/s",
@@ -163,7 +163,7 @@ def mode_tpu(n_reads, iters=8):
         return (jnp.sum(out[0]) + jnp.sum(out[1].astype(jnp.int64))
                 + jnp.sum(out[3].astype(jnp.int64)))
 
-    rate = _time_step(map_step, (cb, ab, lb), iters, roll_axis=0)
+    rate = _time_step(map_step, (cb, ab, lb), iters)
     print(json.dumps({
         "metric": "device_mapped_reads_per_sec",
         "value": round(n_reads / rate, 1), "unit": "reads/s",
