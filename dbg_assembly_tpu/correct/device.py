@@ -54,12 +54,34 @@ _BASES_NP = np.frombuffer(b"ACGT", np.uint8)
 BIG = np.int32(1 << 20)
 
 
+def bitmap_device(bitmap: np.ndarray):
+    """Upload the packed 1-bit table as LITTLE-ENDIAN u32 words — the
+    layout _probe gathers from.  At k=17 the byte axis is exactly 2^31,
+    one past what XLA's x64-index-rewrite pass accepts for a gather
+    dimension, and a device-side u8->u32 bitcast would materialize a
+    [N,4] intermediate that TPU tiling pads 32x; viewing on the host
+    costs nothing."""
+    import jax.numpy as jnp
+    return jnp.asarray(np.ascontiguousarray(bitmap).view(np.uint32))
+
+
 def _probe(bitmap, idx):
     """Vectorized 1-bit table lookup (get_freq, correct_error/seqKmer.cpp:
-    102-106).  idx: uint64 k-mer values; returns bool."""
-    byte = (idx >> jnp.uint64(3)).astype(jnp.int64)
-    sub = (jnp.uint64(7) - (idx & jnp.uint64(7))).astype(jnp.uint8)
-    return ((bitmap[byte] >> sub) & 1).astype(jnp.bool_)
+    102-106).  idx: uint64 k-mer values; returns bool.
+
+    bitmap: u32 words (bitmap_device) or the raw u8 table (bitcast on
+    the fly — CPU/test path only).  Bit order: byte b of a little-endian
+    word w is (w >> 8b) & 0xFF; bits within a byte are MSB-first
+    (seqKmer.cpp:104)."""
+    if bitmap.dtype == jnp.uint32:
+        words = bitmap
+    else:
+        words = jax.lax.bitcast_convert_type(bitmap.reshape(-1, 4),
+                                             jnp.uint32)
+    w = words[(idx >> jnp.uint64(5)).astype(jnp.int64)]
+    shift = (jnp.uint64(8) * ((idx >> jnp.uint64(3)) & jnp.uint64(3))
+             + (jnp.uint64(7) - (idx & jnp.uint64(7)))).astype(jnp.uint32)
+    return ((w >> shift) & jnp.uint32(1)).astype(jnp.bool_)
 
 
 # ===========================================================================

@@ -54,7 +54,7 @@ def correct_batch_jax(batch, bitmap: np.ndarray, p: CorrectParams,
     n = batch.n_reads
     Lmax = batch.seqs_ascii.shape[1]
     lengths = batch.lengths.astype(np.int32)
-    bitmap_dev = jnp.asarray(bitmap)
+    bitmap_dev = dev.bitmap_device(bitmap)
     ones = np.zeros(n, np.int32)
     multis = np.zeros(n, np.int32)
     deleteds = np.zeros(n, np.int32)

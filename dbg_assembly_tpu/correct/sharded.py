@@ -41,18 +41,20 @@ def shard_bitmap(mesh: Mesh, bitmap: np.ndarray, axis: str = "d"):
     """
     d = mesh.shape[axis]
     n = len(bitmap)
-    pad = (-n) % d
+    pad = (-n) % (4 * d)      # word-aligned shards (probe gathers u32)
     if pad:
         bitmap = np.concatenate([bitmap, np.zeros(pad, np.uint8)])
+    words = np.ascontiguousarray(bitmap).view(np.uint32)
     sharding = NamedSharding(mesh, P(axis))
-    return jax.device_put(bitmap, sharding)
+    return jax.device_put(words, sharding)
 
 
 def probe_collective(bm_shard: jnp.ndarray, idx: jnp.ndarray,
                      axis: str = "d"):
     """Sharded-table probe, for use INSIDE shard_map.
 
-    bm_shard: this device's [bytes/D] slice of the packed table.
+    bm_shard: this device's [words/D] slice of the u32-word table
+    (shard_bitmap).
     idx: this device's uint64 k-mer indices, any shape (same shape on
     every device).  Returns bool of idx.shape — the same bits _probe
     would return against the full table.
@@ -61,15 +63,16 @@ def probe_collective(bm_shard: jnp.ndarray, idx: jnp.ndarray,
     flat = idx.reshape(-1)
     q = flat.shape[0]
     allq = jax.lax.all_gather(flat, axis, tiled=True)          # [D*q]
-    bytes_here = bm_shard.shape[0]
-    base = (jax.lax.axis_index(axis).astype(jnp.uint64)
-            * jnp.uint64(8 * bytes_here))
+    bits_here = jnp.uint64(32 * bm_shard.shape[0])   # shard is u32 words
+    base = jax.lax.axis_index(axis).astype(jnp.uint64) * bits_here
     rel = allq - base
-    mine = (allq >= base) & (rel < jnp.uint64(8 * bytes_here))
+    mine = (allq >= base) & (rel < bits_here)
     rel = jnp.where(mine, rel, 0)
-    byte = (rel >> jnp.uint64(3)).astype(jnp.int64)
-    sub = (jnp.uint64(7) - (rel & jnp.uint64(7))).astype(jnp.uint8)
-    bit = ((bm_shard[byte] >> sub) & 1).astype(jnp.int32)
+    # u32-word gather, same layout as device._probe/bitmap_device
+    w = bm_shard[(rel >> jnp.uint64(5)).astype(jnp.int64)]
+    shift = (jnp.uint64(8) * ((rel >> jnp.uint64(3)) & jnp.uint64(3))
+             + (jnp.uint64(7) - (rel & jnp.uint64(7)))).astype(jnp.uint32)
+    bit = ((w >> shift) & jnp.uint32(1)).astype(jnp.int32)
     bit = jnp.where(mine, bit, 0)
     # [D*q] partial answers -> own [q] slice, summed across devices
     out = jax.lax.psum_scatter(bit, axis, scatter_dimension=0, tiled=True)

@@ -73,7 +73,7 @@ def mode_fallback(n_reads):
 
     ascii_np, codes, lengths, bitmap, p, _ = _setup(n_reads)
     import jax.numpy as jnp
-    bmd = jnp.asarray(bitmap)
+    bmd = dev.bitmap_device(bitmap)
     fb_total = 0
     waves_seen = 0
     for off in range(0, n_reads, 8192):
@@ -110,7 +110,7 @@ def mode_tpu(n_reads, iters=8):
     ascii_np, codes, lengths, bitmap, p, genome = _setup(n_reads)
     k, m, mc = p.ksize, p.high_freq_reg_len, p.max_change
     t0 = time.time()
-    bmd = jax.block_until_ready(jnp.asarray(bitmap))
+    bmd = jax.block_until_ready(dev.bitmap_device(bitmap))
     print(f"# bitmap -> HBM in {time.time()-t0:.0f}s", flush=True)
     ab = jnp.asarray(ascii_np)
     cb = jnp.asarray(codes)

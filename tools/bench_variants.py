@@ -212,6 +212,24 @@ def variant_hist(batch):
     return step
 
 
+def variant_ingest(batch):
+    """Full graph-ingest step: chop + strand-adjusted neighbor extraction
+    + sort + edge-counter segment-reduce + first-occurrence index
+    (contig/graph.py:_aggregate_batch) — the BASELINE.md north-star op
+    racing the reference ingest hot loop (DBGgraph.cpp:64-98,167-205),
+    i.e. counting PLUS the 2x4 packed edge counters."""
+    from dbg_assembly_tpu.contig import graph as g
+
+    def step(c, l_):
+        (uniq, lcnt, rcnt, fidx, counts, n_unique,
+         n_valid) = g._aggregate_batch(c, l_, KSIZE, jnp.int64(0))
+        return (n_valid + n_unique + fidx[0]
+                + lcnt[0, 0].astype(jnp.int64)
+                + rcnt[0, 0].astype(jnp.int64)
+                + counts[0].astype(jnp.int64))
+    return step
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=250_000)
@@ -255,6 +273,8 @@ def main():
             step = variant_cummin(args.batch)
         elif name == "hist":
             step = variant_hist(args.batch)
+        elif name == "ingest":
+            step = variant_ingest(args.batch)
         else:
             raise SystemExit(f"unknown variant {name}")
         compile_s, per_iters = run_loop(step, cb, lb, iters_hi=args.iters)
