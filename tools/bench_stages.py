@@ -123,23 +123,28 @@ def mode_tpu(n_reads, iters=8):
     waves = max(int(jnp.max(num_h)) - 1, 0)
     print(f"# waves={waves}", flush=True)
 
-    def correct_step(a, c, l_):
+    def correct_step(a, c, l_, bmd):
         a2, one, hs1, he1, num_h, fb = dev._stage_a(a, c, l_, bmd, k=k,
                                                     m=m, max_change=mc)
         accum = one
         multi = jnp.zeros_like(one)
         fail = jnp.zeros(hs1.shape, bool)
-        for i in range(waves):
-            a2, accum, multi, fail, fb = dev._wave_step(
+        # waves roll as ONE fori_loop body (the unrolled form triples the
+        # serialized program and overflows the remote-compile request)
+        def wave(i, st):
+            a2, accum, multi, fail, fb = st
+            return dev._wave_step(
                 a2, l_, bmd, hs1, he1, num_h, accum, multi, fail, fb,
-                jnp.int32(i), jnp.int32(mc), k=k)
+                i.astype(jnp.int32), jnp.int32(mc), k=k)
+        a2, accum, multi, fail, fb = jax.lax.fori_loop(
+            0, waves, wave, (a2, accum, multi, fail, fb))
         a2, multi, deleted, tl, tr, fb = dev._phase5(
             a2, l_, bmd, hs1, he1, num_h, accum, multi, fail, fb,
             k=k, mc=mc, ft=p.further_trim, min_len=p.min_read_len)
         return (jnp.sum(one + multi + deleted + tl + tr)
                 + jnp.sum(fb) + a2[0, 0].astype(jnp.int64))
 
-    rate = _time_step(correct_step, (ab, cb, lb), iters)
+    rate = _time_step(correct_step, (ab, cb, lb), iters, consts=(bmd,))
     print(json.dumps({
         "metric": "device_corrected_reads_per_sec",
         "value": round(n_reads / rate, 1), "unit": "reads/s",
@@ -158,41 +163,45 @@ def mode_tpu(n_reads, iters=8):
     ss = jnp.asarray(np.ones(n_reads, np.int64))
     fn = functools.partial(six._map_kernel, k=31, S=5)
 
-    def map_step(c, a, l_):
+    def map_step(c, a, l_, ixa, ss):
         out = fn(ixa, c, a, l_, ss, jnp.float64(0.97))
         return (jnp.sum(out[0]) + jnp.sum(out[1].astype(jnp.int64))
                 + jnp.sum(out[3].astype(jnp.int64)))
 
-    rate = _time_step(map_step, (cb, ab, lb), iters)
+    rate = _time_step(map_step, (cb, ab, lb), iters, consts=(ixa, ss))
     print(json.dumps({
         "metric": "device_mapped_reads_per_sec",
         "value": round(n_reads / rate, 1), "unit": "reads/s",
         "batch": n_reads, "per_iter_s": round(rate, 4)}), flush=True)
 
 
-def _time_step(step, args, iters):
+def _time_step(step, args, iters, consts=()):
     """fori-loop differencing; every array arg is rolled consistently on
-    its leading (reads) axis per iteration so the inputs stay coherent."""
+    its leading (reads) axis per iteration so the inputs stay coherent.
+    consts: extra step inputs passed through UN-rolled as jit arguments —
+    closure-capturing them would embed them as program CONSTANTS and ship
+    them in the remote-compile request (the 2 GiB k=17 table overflowed
+    the compile endpoint's size limit that way)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def loop(args, n):
+    def loop(args, consts, n):
         def body(i, acc):
             rolled = tuple(jnp.roll(a, i, axis=0) for a in args)
-            return acc + step(*rolled).astype(jnp.int64)
+            return acc + step(*rolled, *consts).astype(jnp.int64)
         return jax.lax.fori_loop(0, n, body, jnp.int64(0))
 
     t0 = time.perf_counter()
-    float(np.asarray(loop(args, 1)))
+    float(np.asarray(loop(args, consts, 1)))
     print(f"# compile {time.perf_counter()-t0:.0f}s", flush=True)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        float(np.asarray(loop(args, iters)))
+        float(np.asarray(loop(args, consts, iters)))
         hi = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(np.asarray(loop(args, 2)))
+        float(np.asarray(loop(args, consts, 2)))
         lo = time.perf_counter() - t0
         best = min(best, max((hi - lo) / (iters - 2), 1e-9))
     return best
