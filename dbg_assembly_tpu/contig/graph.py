@@ -80,6 +80,28 @@ def _chop_with_edges(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int):
     return can, left.astype(jnp.int32), right.astype(jnp.int32), valid
 
 
+def _rcummin_blocked(x, fill, block: int = 1024):
+    """Exact reverse cumulative min along axis 0, two-level blocked.
+
+    A flat lax.cummin over tens of millions of rows costs 50-200 ms on
+    TPU and compiles pathologically (PROFILE.md item 3); block-local
+    scans plus a short cross-block carry scan run at memory bandwidth."""
+    n = x.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+    blk = x.reshape((nb, block) + x.shape[1:])
+    within = jax.lax.cummin(blk, axis=1, reverse=True)
+    bmin = within[:, 0]                                  # [nb, ...]
+    nxt = jnp.concatenate(
+        [bmin[1:], jnp.full((1,) + bmin.shape[1:], fill, x.dtype)])
+    carry = jax.lax.cummin(nxt, axis=0, reverse=True)    # blocks after b
+    out = jnp.minimum(within, carry[:, None])
+    return out.reshape((nb * block,) + x.shape[2:])[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def _aggregate_batch(codes, lengths, ksize, base_index):
     """Chop one batch and segment-reduce edge counters per unique k-mer.
@@ -94,11 +116,20 @@ def _aggregate_batch(codes, lengths, ksize, base_index):
     n = flat_k.shape[0]
     stream_idx = base_index + jnp.arange(n, dtype=jnp.int64)
 
-    order = jnp.argsort(flat_k, stable=True)
-    sk = flat_k[order]
-    sl = flat_l[order]
-    sr = flat_r[order]
-    sidx = stream_idx[order]
+    # ONE two-operand sort carries the payloads through the comparator
+    # network obliviously — the earlier argsort + 4 gathers paid
+    # ~65 ns/element of serial random-gather time on TPU and made the
+    # ingest step 10x slower than the counting pipeline.  The left/right
+    # edge codes ride in bits 41-46 of the stream-index operand (payload
+    # width sets sort cost; stream positions stay < 2^41 = ~9 Tbp per
+    # ingest run, far past any input this pipeline feeds).
+    spacked = (stream_idx
+               | (flat_l.astype(jnp.int64) << 41)
+               | (flat_r.astype(jnp.int64) << 44))
+    sk, sp = jax.lax.sort((flat_k, spacked), num_keys=1, is_stable=True)
+    sidx = sp & jnp.int64((1 << 41) - 1)
+    sl = ((sp >> 41) & 7).astype(jnp.int32)
+    sr = ((sp >> 44) & 7).astype(jnp.int32)
 
     first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
     first = first & (sk != SENTINEL)
@@ -106,34 +137,63 @@ def _aggregate_batch(codes, lengths, ksize, base_index):
     is_valid = (sk != SENTINEL)
     n_valid = jnp.sum(is_valid.astype(jnp.int64))
 
-    # All segment reductions as GATHERS (no scatter — a one-update-per-
-    # element scatter over n segments is pathologically slow on TPU and on
-    # the XLA CPU backend):
-    #   * run starts compacted to the front by a stable argsort of ~first;
-    #   * run ends = next run start (last valid run ends at n_valid since
-    #     SENTINEL rows sort to the tail);
-    #   * edge-counter sums = cumsum differences at run boundaries;
-    #   * first_idx = sidx at the run start (stable sort keeps stream order
-    #     inside each run, and stream_idx is increasing).
+    # All segment reductions WITHOUT data-dependent gathers or scatters
+    # (either is ~65 ns/element serial time on TPU; the sorts below are
+    # oblivious comparator networks and run at memory bandwidth):
+    #   * per-position segment bases via cummax of values masked to run
+    #     starts (the cumsums are monotone, so running max == "value at
+    #     my run's start");
+    #   * run totals/length materialize at run-LAST positions, identity
+    #     values at run-FIRST positions;
+    #   * two payload-carrying compaction sorts (keys: ~first / ~last)
+    #     bring rank r of BOTH compactions to the same run r — no cross
+    #     indexing needed.
     pos = jnp.arange(n, dtype=jnp.int64)
-    corder = jnp.argsort(~first, stable=True)
-    starts = pos[corder]                      # [n]; first n_unique are starts
-    next_starts = jnp.concatenate([starts[1:], jnp.array([n], jnp.int64)])
-    ends = jnp.where(pos == n_unique - 1, n_valid, next_starts)
-    ends = jnp.where(pos < n_unique, ends, starts)      # padding rows: empty
+    last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+    last = last & is_valid
 
     lhot = (sl[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
     rhot = (sr[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
     lhot = jnp.where(is_valid[:, None], lhot, 0)
     rhot = jnp.where(is_valid[:, None], rhot, 0)
-    zero = jnp.zeros((1, 4), jnp.int32)
-    cum_l = jnp.concatenate([zero, jnp.cumsum(lhot, axis=0)], axis=0)
-    cum_r = jnp.concatenate([zero, jnp.cumsum(rhot, axis=0)], axis=0)
-    lcnt = cum_l[ends] - cum_l[starts]
-    rcnt = cum_r[ends] - cum_r[starts]
-    uniq = jnp.where(pos < n_unique, sk[starts], SENTINEL)
-    first_idx = jnp.where(pos < n_unique, sidx[starts], jnp.int64(2 ** 62))
-    counts = jnp.where(pos < n_unique, ends - starts, 0).astype(jnp.int32)
+    cum_l = jnp.cumsum(lhot, axis=0)          # inclusive, monotone
+    cum_r = jnp.cumsum(rhot, axis=0)
+    # "cum at my run's END" at every position: reverse running min of the
+    # monotone cumsums masked to run-last positions
+    BIGI = jnp.int32(2 ** 31 - 1)
+    end_l = jax.lax.cummin(jnp.where(last[:, None], cum_l, BIGI), axis=0,
+                           reverse=True)
+    end_r = jax.lax.cummin(jnp.where(last[:, None], cum_r, BIGI), axis=0,
+                           reverse=True)
+    tot_l = end_l - (cum_l - lhot)            # run totals at FIRST positions
+    tot_r = end_r - (cum_r - rhot)
+    # clip to the counter saturation point and pack 4 lanes per u32: the
+    # merge chain ends in min(total, 255), and min commutes with summing
+    # pre-clipped parts, so per-batch clipping is exact — and it makes
+    # the compaction sort carry 2 words instead of 8
+    sh = jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32)[None, :]
+    pk_l = jnp.sum(jnp.clip(tot_l, 0, 255).astype(jnp.uint32) << sh, axis=1)
+    pk_r = jnp.sum(jnp.clip(tot_r, 0, 255).astype(jnp.uint32) << sh, axis=1)
+    end_pos = jax.lax.cummin(jnp.where(last, pos, jnp.int64(n)),
+                             reverse=True)
+    run_len = (end_pos - pos + 1).astype(jnp.int32)
+
+    # ONE compaction sort (key: ~first, stable) brings every run's record
+    # — uniq k-mer, first stream index (stable sort keeps ascending sidx
+    # inside a run, so sidx at the start is the min), packed edge totals,
+    # run length — to the front in ascending-kmer order.
+    ka = (~first).astype(jnp.uint8)
+    _, uniq, first_idx, pl, pr, counts = jax.lax.sort(
+        (ka, sk, sidx, pk_l, pk_r, run_len), num_keys=1, is_stable=True)
+    lcnt = ((pl[:, None] >> sh) & jnp.uint32(255)).astype(jnp.int32)
+    rcnt = ((pr[:, None] >> sh) & jnp.uint32(255)).astype(jnp.int32)
+
+    in_front = pos < n_unique
+    uniq = jnp.where(in_front, uniq, SENTINEL)
+    first_idx = jnp.where(in_front, first_idx, jnp.int64(2 ** 62))
+    lcnt = jnp.where(in_front[:, None], lcnt, 0)
+    rcnt = jnp.where(in_front[:, None], rcnt, 0)
+    counts = jnp.where(in_front, counts, 0)
     return uniq, lcnt, rcnt, first_idx, counts, n_unique, n_valid
 
 
@@ -190,6 +250,11 @@ def _aggregate_batch_np(codes: np.ndarray, lengths: np.ndarray, ksize: int,
             ((sl == b) & vmask).astype(np.int32), starts)
         rcnt[:, b] = np.add.reduceat(
             ((sr == b) & vmask).astype(np.int32), starts)
+    # per-batch clip at the 255 saturation point, matching the device
+    # kernel's packed-u32 totals (exact: min(total,255) at finalize
+    # commutes with summing pre-clipped parts)
+    np.minimum(lcnt, 255, out=lcnt)
+    np.minimum(rcnt, 255, out=rcnt)
     # stable sort keeps stream order inside each run -> run head is the min
     first_idx = base_index + order[starts].astype(np.int64)
     counts = np.add.reduceat(vmask.astype(np.int32), starts)
