@@ -80,28 +80,6 @@ def _chop_with_edges(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int):
     return can, left.astype(jnp.int32), right.astype(jnp.int32), valid
 
 
-def _rcummin_blocked(x, fill, block: int = 1024):
-    """Exact reverse cumulative min along axis 0, two-level blocked.
-
-    A flat lax.cummin over tens of millions of rows costs 50-200 ms on
-    TPU and compiles pathologically (PROFILE.md item 3); block-local
-    scans plus a short cross-block carry scan run at memory bandwidth."""
-    n = x.shape[0]
-    nb = -(-n // block)
-    pad = nb * block - n
-    if pad:
-        x = jnp.concatenate(
-            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
-    blk = x.reshape((nb, block) + x.shape[1:])
-    within = jax.lax.cummin(blk, axis=1, reverse=True)
-    bmin = within[:, 0]                                  # [nb, ...]
-    nxt = jnp.concatenate(
-        [bmin[1:], jnp.full((1,) + bmin.shape[1:], fill, x.dtype)])
-    carry = jax.lax.cummin(nxt, axis=0, reverse=True)    # blocks after b
-    out = jnp.minimum(within, carry[:, None])
-    return out.reshape((nb * block,) + x.shape[2:])[:n]
-
-
 @functools.partial(jax.jit, static_argnames=("ksize",))
 def _aggregate_batch(codes, lengths, ksize, base_index):
     """Chop one batch and segment-reduce edge counters per unique k-mer.
@@ -372,6 +350,14 @@ class GraphBuilder:
             lb = lb[keep]
             if len(cb) == 0:
                 continue
+            # the packed-payload sort carries edge codes in bits 41-46 of
+            # the stream-index operand (_aggregate_batch); fail loudly if a
+            # run ever approaches that bound instead of corrupting counters
+            P_all = cb.shape[1] - k + 1
+            if self.stream_pos + len(cb) * P_all >= (1 << 41):
+                raise OverflowError(
+                    "ingest stream index would exceed 2^41 positions "
+                    f"({self.stream_pos + len(cb) * P_all}); split the run")
             if self.mesh is not None:
                 self._add_mesh(cb, lb)
                 continue

@@ -8,6 +8,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -19,18 +20,37 @@ _SRCS = [os.path.join(_ROOT, "native", f)
                    "map_engine.cpp", "fastq_engine.cpp")]
 
 _lib = None
+_lib_lock = threading.Lock()    # callers race here from thread pools
+                                # (e.g. map_pair's concurrent pair decode)
 
 
 def lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        return _build_and_load()
+
+
+def _build_and_load() -> ctypes.CDLL:
+    global _lib
     if (not os.path.exists(_SO)
             or any(os.path.getmtime(_SO) < os.path.getmtime(s)
                    for s in _SRCS)):
         subprocess.run(["make", "-C", os.path.join(_ROOT, "native")],
                        check=True, capture_output=True)
-    _lib = ctypes.CDLL(_SO)
+    # configure signatures on a local before publishing to _lib, so a
+    # reader that passes the fast-path None check never sees a
+    # half-configured handle
+    lo = ctypes.CDLL(_SO)
+    _configure(lo)
+    _lib = lo
+    return _lib
+
+
+def _configure(_lib: ctypes.CDLL) -> None:
     _lib.jenkins64.restype = ctypes.c_uint64
     _lib.jenkins64.argtypes = [ctypes.c_uint64]
     _lib.find_next_prime.restype = ctypes.c_uint64
@@ -72,7 +92,6 @@ def lib() -> ctypes.CDLL:
     _lib.mapidx_map.restype = None
     _lib.fastq_scan.restype = None
     _lib.fastq_fill.restype = None
-    return _lib
 
 
 class NativeIngest:

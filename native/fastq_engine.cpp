@@ -42,18 +42,23 @@ static inline void for_lines(const uint8_t* data, int64_t n, F&& fn) {
 
 static uint8_t LUT_KMER[256];
 static uint8_t LUT_STRICT[256];
-static bool lut_init_done = false;
 
 static void lut_init() {
-    if (lut_init_done) return;
-    memset(LUT_KMER, 0, 256);          // N/n and unknown -> 0
-    memset(LUT_STRICT, 4, 256);        // N/n and unknown -> 4
-    const char* b = "AaCcGgTt";
-    for (int i = 0; i < 8; i++) {
-        LUT_KMER[(uint8_t)b[i]] = (uint8_t)(i / 2);
-        LUT_STRICT[(uint8_t)b[i]] = (uint8_t)(i / 2);
-    }
-    lut_init_done = true;
+    // map_pair.py decodes the two mates of a pair from two threads
+    // concurrently (ctypes releases the GIL); a C++11 magic static makes
+    // the one-time LUT fill thread-safe (guard initialization is
+    // synchronized by the runtime).
+    static const bool done = [] {
+        memset(LUT_KMER, 0, 256);          // N/n and unknown -> 0
+        memset(LUT_STRICT, 4, 256);        // N/n and unknown -> 4
+        const char* b = "AaCcGgTt";
+        for (int i = 0; i < 8; i++) {
+            LUT_KMER[(uint8_t)b[i]] = (uint8_t)(i / 2);
+            LUT_STRICT[(uint8_t)b[i]] = (uint8_t)(i / 2);
+        }
+        return true;
+    }();
+    (void)done;
 }
 
 }  // namespace fastqn

@@ -23,6 +23,7 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(1, os.path.join(ROOT, 'tools', 'bucket_lab'))
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +79,7 @@ def variant_mono(batch):
 
 
 def variant_bucket(batch, B, S):
-    from dbg_assembly_tpu.kmer import bucket
+    import bucket
 
     def step(c, l_):
         spectrum, n_unique, n_valid, overflow = bucket.count_spectrum(
@@ -88,7 +89,7 @@ def variant_bucket(batch, B, S):
 
 
 def variant_bucket2(batch, B, S):
-    from dbg_assembly_tpu.kmer import bucket2
+    import bucket2
 
     def step(c, l_):
         spectrum, n_unique, n_valid, overflow = bucket2.count_spectrum(
@@ -99,7 +100,7 @@ def variant_bucket2(batch, B, S):
 
 def variant_chop(batch):
     """Chop + canonical + hash only (lower bound shared by all variants)."""
-    from dbg_assembly_tpu.kmer import bucket
+    import bucket
 
     def step(c, l_):
         flat, n_valid = bucket._chop_hash(c, l_, KSIZE)
@@ -121,7 +122,7 @@ def variant_chopsort(batch):
 
 def variant_rowsort(batch, S):
     """Chop + row-sort in [T, S] tiles: is XLA's sort stage-proportional?"""
-    from dbg_assembly_tpu.kmer import bucket
+    import bucket
 
     def step(c, l_):
         flat, n_valid = bucket._chop_hash(c, l_, KSIZE)
@@ -177,7 +178,7 @@ def variant_sortpair32(batch):
     """Chop + lax.sort of the u64 keys split into (hi, lo) u32 operands:
     does comparator key width drive the monolithic sort cost?"""
     def step(c, l_):
-        from dbg_assembly_tpu.kmer import bucket
+        import bucket
         flat, n_valid = bucket._chop_hash(c, l_, KSIZE)
         hi = (flat >> jnp.uint64(32)).astype(jnp.uint32)
         lo = flat.astype(jnp.uint32)
@@ -190,7 +191,7 @@ def variant_sortpair32(batch):
 def variant_cummin(batch):
     """Chop + one reverse cummin pass (isolates scan cost; no sort)."""
     def step(c, l_):
-        from dbg_assembly_tpu.kmer import bucket
+        import bucket
         flat, n_valid = bucket._chop_hash(c, l_, KSIZE)
         m = jnp.flip(jax.lax.cummin(jnp.flip(
             flat.astype(jnp.int64))))
@@ -204,7 +205,7 @@ def variant_hist(batch):
     from dbg_assembly_tpu.kmer import stats as ks
 
     def step(c, l_):
-        from dbg_assembly_tpu.kmer import bucket
+        import bucket
         flat, n_valid = bucket._chop_hash(c, l_, KSIZE)
         v = (flat & jnp.uint64(255)).astype(jnp.int32)
         spec = ks.histogram256(v)

@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .. import dna
+from dbg_assembly_tpu import dna
 
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 

@@ -42,7 +42,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .bucket import HASH_C, HASH_C_INV, SENTINEL, _chop_hash, unhash  # noqa: F401
+from bucket import HASH_C, HASH_C_INV, SENTINEL, _chop_hash, unhash  # noqa: F401
 
 
 def _binary_search_rows(rows, queries):

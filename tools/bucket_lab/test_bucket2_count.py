@@ -5,7 +5,8 @@ and the (unique, count) map, including through the overflow-retry wrappers."""
 import numpy as np
 import pytest
 
-from dbg_assembly_tpu.kmer import bucket2, count as kc
+import bucket2
+from dbg_assembly_tpu.kmer import count as kc
 
 
 def _reference_counts(codes, lengths, k):

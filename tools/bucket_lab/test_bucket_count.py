@@ -3,7 +3,8 @@ reference-grade single-sort counter on spectrum, species and totals."""
 
 import numpy as np
 
-from dbg_assembly_tpu.kmer import bucket, count as kc
+import bucket
+from dbg_assembly_tpu.kmer import count as kc
 
 
 def _reference_counts(codes, lengths, k):

@@ -11,12 +11,13 @@ import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(1, os.path.join(ROOT, 'tools', 'bucket_lab'))
 
 import jax
 import jax.numpy as jnp
 import functools
 
-from dbg_assembly_tpu.kmer import bucket
+import bucket
 
 KSIZE = 31
 READ_LEN = 150
