@@ -137,31 +137,39 @@ class _Graph:
 
     # ----------------------------------------------------------- locate
     def locate(self, nf: np.ndarray) -> np.ndarray:
-        """Canonical k-mer values -> node ids (M = missing/deleted)."""
+        """Canonical k-mer values -> node ids (M = missing/deleted).
+
+        The bulk analog of exist_kmerset (kmerSet.cpp:280-302).  MeshGraph
+        (mesh_assemble.py) overrides _search to run the table search as a
+        sharded collective program; the mutable deleted mask applies here."""
         nf = np.asarray(nf, np.uint64)
+        idx = self._search(nf)
+        found = (idx >= 0) & ~self.deleted[np.maximum(idx, 0)]
+        return np.where(found, idx, self.M).astype(np.int64)
+
+    def _search(self, nf: np.ndarray) -> np.ndarray:
+        """Static-table search: k-mer values -> sorted-table index or -1."""
         idx = np.searchsorted(self.kmers, nf)
         idx = np.minimum(idx, self.M - 1)
-        found = (self.kmers[idx] == nf) & ~self.deleted[idx]
-        return np.where(found, idx, self.M).astype(np.int64)
+        return np.where(self.kmers[idx] == nf, idx, -1).astype(np.int64)
+
+    def resolve_chains(self, succ: np.ndarray):
+        """Pointer-doubling chain resolution (MeshGraph runs it sharded)."""
+        e, dist, cyclic = _resolve_chains(jnp.asarray(succ))
+        return np.asarray(e), np.asarray(dist), np.asarray(cyclic)
 
     # ------------------------------------------------------------ links
     def calc_links(self):
         """calculate_kmer_links (contig.cpp:107-205), one bulk pass.
         Also snapshots tip/branch candidate lists in slot order, exactly
-        as the reference collects them during this scan."""
-        cut = self.p.kmer_freq_cutoff
+        as the reference collects them during this scan.  The O(M) counter
+        math lives in _links_bulk (MeshGraph runs it sharded)."""
         M = self.M
-        l, r = self.lcnt[:M], self.rcnt[:M]
-        lq, rq = l > cut, r > cut
-        self.l_num[:M] = np.minimum(lq.sum(1), 3)
-        self.r_num[:M] = np.minimum(rq.sum(1), 3)
-        self.l_base[:M] = np.argmax(np.where(lq, l, 0), axis=1)
-        self.r_base[:M] = np.argmax(np.where(rq, r, 0), axis=1)
+        (self.l_num[:M], self.r_num[:M], self.l_base[:M], self.r_base[:M],
+         self.depth_stat) = self._links_bulk()
         self.linear[:M] = (self.l_num[:M] == 1) & (self.r_num[:M] == 1)
         no_links = (self.l_num[:M] == 0) & (self.r_num[:M] == 0)
         self.deleted[:M] |= no_links
-        self.depth_stat = (np.bincount(l.reshape(-1), minlength=256)
-                           + np.bincount(r.reshape(-1), minlength=256))
         st = self.stats
         st.total_nodes = M
         st.deleted_lowfreq = int(no_links.sum())
@@ -172,6 +180,22 @@ class _Graph:
         self.branch_nodes = so[(self.l_num[so] > 1) | (self.r_num[so] > 1)]
         st.tip_candidates = len(self.tip_nodes)
         st.branch_candidates = len(self.branch_nodes)
+
+    def _links_bulk(self):
+        """O(M) link/topology pass over the counters: per-node link count
+        (capped at 3), max-depth base (first strictly-greater wins =
+        argmax, contig.cpp:136-139) and the 256-bin depth histogram."""
+        cut = self.p.kmer_freq_cutoff
+        M = self.M
+        l, r = self.lcnt[:M], self.rcnt[:M]
+        lq, rq = l > cut, r > cut
+        l_num = np.minimum(lq.sum(1), 3).astype(np.int32)
+        r_num = np.minimum(rq.sum(1), 3).astype(np.int32)
+        l_base = np.argmax(np.where(lq, l, 0), axis=1).astype(np.int32)
+        r_base = np.argmax(np.where(rq, r, 0), axis=1).astype(np.int32)
+        depth_stat = (np.bincount(l.reshape(-1), minlength=256)
+                      + np.bincount(r.reshape(-1), minlength=256))
+        return l_num, r_num, l_base, r_base, depth_stat
 
     def write_kmer_freq(self, path: str):
         with open(path, "w") as f:
@@ -796,8 +820,7 @@ def read_out_contigs(g: _Graph, prefix: str):
     succ = np.where(ok, 2 * nxt + (ndir == -1).astype(np.int64), STOP)
     succ = np.where(alive[node], succ, STOP)
 
-    e, dist, cyclic = (np.asarray(x) for x in
-                       _resolve_chains(jnp.asarray(succ)))
+    e, dist, cyclic = g.resolve_chains(succ)
 
     is_state = alive[node]
     rev = np.arange(n_states, dtype=np.int64) ^ 1

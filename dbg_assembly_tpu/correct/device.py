@@ -207,7 +207,19 @@ def _stage_a_impl(ascii_seq, codes, lengths, probe, *, k: int, m: int,
 def _bbt_batch(ascii_seq, lengths, bitmap, active, check_start, check_end,
                max_allowed, last_change_init, *, k: int, rightward: bool,
                is_modify_trimmed: bool):
-    """One batched BBT call (every active read searches in lockstep).
+    """One batched BBT call against an HBM-resident full table."""
+    return _bbt_impl(ascii_seq, lengths, lambda idx: _probe(bitmap, idx),
+                     active, check_start, check_end, max_allowed,
+                     last_change_init, k=k, rightward=rightward,
+                     is_modify_trimmed=is_modify_trimmed)
+
+
+def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
+              max_allowed, last_change_init, *, k: int, rightward: bool,
+              is_modify_trimmed: bool, global_any=None, vary=None):
+    """One batched BBT call (every active read searches in lockstep), with
+    the table lookup abstracted as probe(idx)->bool — the sharded-table
+    corrector (correct/sharded.py) passes the collective probe.
 
     check_start/check_end: 1-based base positions (reference cycle range).
     Returns (new_ascii, num_corrected, len_need_trim, last_change, overflow).
@@ -250,7 +262,11 @@ def _bbt_batch(ascii_seq, lengths, bitmap, active, check_start, check_end,
     jj = jnp.arange(4, dtype=jnp.uint64)[None, None, :]
 
     def cond(st):
-        return jnp.any(~st[6])
+        # under shard_map the trip decision must be GLOBALLY uniform (the
+        # collective probe inside the body would deadlock if shards exited
+        # at different trips): global_any ORs across the mesh
+        more = jnp.any(~st[6])
+        return more if global_any is None else global_any(more)
 
     def body(st):
         kmer, change, alive, cpos, cbase, cp, done, ovf = st
@@ -265,7 +281,7 @@ def _bbt_batch(ascii_seq, lengths, bitmap, active, check_start, check_end,
                 (jj << jnp.uint64(2 * (k - 1)))
         same = bases_ascii[None, None, :] == rchar[:, None, None]
         cchange = change[:, :, None] + (~same).astype(jnp.int32)
-        calive = (alive[:, :, None] & (cchange <= ma) & _probe(bitmap, ck)
+        calive = (alive[:, :, None] & (cchange <= ma) & probe(ck)
                   & running[:, None, None])
         any_child = jnp.any(calive, axis=(1, 2))
         n_alive = jnp.sum(calive, axis=(1, 2))
@@ -311,9 +327,13 @@ def _bbt_batch(ascii_seq, lengths, bitmap, active, check_start, check_end,
         done = done | (running & ~any_child) | (progress & out_of_span)
         return (kmer, change, alive, cpos, cbase, cp_next, done, ovf)
 
-    st = jax.lax.while_loop(
-        cond, body,
-        (kmer0, change0, alive0, cpos0, cbase0, cp0, done0, ovf0))
+    carry0 = (kmer0, change0, alive0, cpos0, cbase0, cp0, done0, ovf0)
+    if global_any is not None:
+        # under shard_map some initial carries are REPLICATED constants
+        # while the body makes them device-varying; normalize the varying
+        # manual axes up front (vary is supplied with the mesh axis)
+        carry0 = vary(carry0)
+    st = jax.lax.while_loop(cond, body, carry0)
     kmer, change, alive, cpos, cbase, cp, done, ovf = st
 
     ch = jnp.where(alive, change, BIG)
@@ -427,22 +447,32 @@ def correct_batch_device(ascii_np, codes_np, lengths_np, bitmap_dev, params):
                    static_argnames=("k", "mc", "ft", "min_len"))
 def _phase5(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
             fail, fallback, *, k: int, mc: int, ft: int, min_len: int):
+    """Phase 5 against an HBM-resident full table."""
+    return _phase5_impl(ascii_seq, lengths,
+                        lambda idx: _probe(bitmap, idx), hs1, he1, num_h,
+                        accum, multi, fail, fallback, k=k, mc=mc, ft=ft,
+                        min_len=min_len)
+
+
+def _phase5_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
+                 fail, fallback, *, k: int, mc: int, ft: int, min_len: int,
+                 global_any=None, vary=None):
     """Phase 5 (correct.cpp:273-334) as one jitted program: head/tail BBT
     from the max combined high region + Further_trim_len end safety."""
     N = ascii_seq.shape[0]
     Lr = lengths
-    bitmap_dev = bitmap
     max_s1, max_e1 = _max_combined(hs1, he1, num_h, fail)
     ok = ~fallback & (num_h > 0)
 
     # head (correct.cpp:273-290)
     act_h = ok & (max_s1 > 1)
     can_h = act_h & (accum < mc)
-    ascii_seq, numh, tl_bbt, left_last, ovf = _bbt_batch(
-        ascii_seq, lengths, bitmap_dev, can_h,
+    ascii_seq, numh, tl_bbt, left_last, ovf = _bbt_impl(
+        ascii_seq, lengths, probe, can_h,
         jnp.maximum(max_s1 - 1, 1), jnp.ones_like(max_s1),
         mc - accum, jnp.zeros((N,), jnp.int32),
-        k=k, rightward=False, is_modify_trimmed=True)
+        k=k, rightward=False, is_modify_trimmed=True,
+        global_any=global_any, vary=vary)
     fallback = fallback | ovf
     got_h = can_h & (numh > 0)
     multi = multi + jnp.where(got_h, numh, 0)
@@ -455,11 +485,12 @@ def _phase5(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
     high_end = max_e1 + k - 1
     act_t = ok & (high_end < Lr)
     can_t = act_t & (accum < mc)
-    ascii_seq, numt, tr_bbt, right_last, ovf = _bbt_batch(
-        ascii_seq, lengths, bitmap_dev, can_t,
+    ascii_seq, numt, tr_bbt, right_last, ovf = _bbt_impl(
+        ascii_seq, lengths, probe, can_t,
         jnp.minimum(high_end + 1, Lr), Lr,
         mc - accum, Lr + 1,
-        k=k, rightward=True, is_modify_trimmed=True)
+        k=k, rightward=True, is_modify_trimmed=True,
+        global_any=global_any, vary=vary)
     fallback = fallback | ovf
     got_t = can_t & (numt > 0)
     multi = multi + jnp.where(got_t, numt, 0)
@@ -490,6 +521,15 @@ def _phase5(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
 @functools.partial(jax.jit, static_argnames=("k",))
 def _wave_step(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
                fail, fallback, i, mc, *, k: int):
+    """Gap wave i against an HBM-resident full table."""
+    return _wave_impl(ascii_seq, lengths,
+                      lambda idx: _probe(bitmap, idx), hs1, he1, num_h,
+                      accum, multi, fail, fallback, i, mc, k=k)
+
+
+def _wave_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
+               fail, fallback, i, mc, *, k: int, global_any=None,
+               vary=None):
     """Gap wave i: rightward BBT, then leftward for the failures
     (correct.cpp:222-263)."""
     N = ascii_seq.shape[0]
@@ -502,10 +542,11 @@ def _wave_step(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
 
     cs_r = he_i + k                    # high_end+1 where high_end=he1+k-1
     ce_r = hs_n + k - 2                # low region's last base
-    ascii_seq, numr, lntr, _, ovf = _bbt_batch(
-        ascii_seq, lengths, bitmap, act, cs_r, ce_r, mc - accum,
+    ascii_seq, numr, lntr, _, ovf = _bbt_impl(
+        ascii_seq, lengths, probe, act, cs_r, ce_r, mc - accum,
         jnp.full((N,), -1, jnp.int32),
-        k=k, rightward=True, is_modify_trimmed=False)
+        k=k, rightward=True, is_modify_trimmed=False,
+        global_any=global_any, vary=vary)
     fallback = fallback | ovf
     ok_r = act & (lntr == 0) & (numr > 0)
     multi = multi + jnp.where(ok_r, numr, 0)
@@ -514,10 +555,11 @@ def _wave_step(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
     act_l = act & ~ok_r
     cs_l = hs_n - 1
     ce_l = he_i + 1
-    ascii_seq, numl, lntl, _, ovf = _bbt_batch(
-        ascii_seq, lengths, bitmap, act_l, cs_l, ce_l, mc - accum,
+    ascii_seq, numl, lntl, _, ovf = _bbt_impl(
+        ascii_seq, lengths, probe, act_l, cs_l, ce_l, mc - accum,
         jnp.full((N,), -1, jnp.int32),
-        k=k, rightward=False, is_modify_trimmed=False)
+        k=k, rightward=False, is_modify_trimmed=False,
+        global_any=global_any, vary=vary)
     fallback = fallback | ovf
     ok_l = act_l & (lntl == 0) & (numl > 0)
     multi = multi + jnp.where(ok_l, numl, 0)
