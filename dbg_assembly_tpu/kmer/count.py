@@ -75,32 +75,104 @@ def count_spectrum_fast(codes: jnp.ndarray, lengths: jnp.ndarray,
     return spectrum, n_unique, n_valid
 
 
+def _runs_masked(sorted_kmers: jnp.ndarray):
+    """Run boundaries + EXACT run lengths of a sorted vector, in place.
+
+    Gather-free: boundaries by neighbor diff, run lengths by a blocked
+    reverse cummin of next-boundary indices (stats.rcummin_blocked — the
+    flat scan is 10x slower and compiles pathologically, PROFILE.md).
+    Returns (uniq_masked [n] u64 with SENTINEL at non-run-start slots,
+    counts_masked [n] i32 with 0 there, n_unique i64).
+    """
+    from . import stats as _stats
+    x = sorted_kmers
+    n = x.shape[0]
+    valid = x != SENTINEL
+    first = jnp.concatenate([jnp.ones((1,), bool), x[1:] != x[:-1]]) & valid
+    # a run also ends where the sentinel tail begins
+    to_invalid = jnp.concatenate([jnp.zeros((1,), bool),
+                                  valid[:-1] & ~valid[1:]])
+    boundary = first | to_invalid
+    idx = jnp.arange(n, dtype=jnp.int32)
+    BIG = jnp.int32(2 ** 31 - 1)
+    fidx = jnp.where(boundary, idx, BIG)
+    # next boundary strictly after i
+    nxt = _stats.rcummin_blocked(
+        jnp.concatenate([fidx[1:], jnp.full((1,), jnp.int32(n))]), BIG)
+    nxt = jnp.minimum(nxt, jnp.int32(n))
+    counts = jnp.where(first, nxt - idx, 0)
+    n_unique = jnp.sum(first.astype(jnp.int64))
+    uniq = jnp.where(first, x, SENTINEL)
+    return uniq, counts, n_unique
+
+
 @jax.jit
 def run_length(sorted_kmers: jnp.ndarray):
     """Run-length encode a sorted vector.
 
     Returns (unique [M_padded], counts [M_padded], n_unique) where entries
-    beyond n_unique hold SENTINEL/0.  M_padded == len(sorted_kmers): XLA needs
-    static shapes, so uniques are compacted to the front via argsort of the
-    boundary mask (stable), not dynamically sized.
+    beyond n_unique hold SENTINEL/0.  M_padded == len(sorted_kmers): XLA
+    needs static shapes, so uniques are compacted to the front.
+
+    Gather-free (round-4 rework): the old argsort + x[starts] gathers paid
+    ~65 ns/element of serial random-gather time on TPU (PROFILE.md item 2);
+    now run lengths come from a blocked reverse cummin and the compaction
+    is ONE payload-carrying sort keyed on the sentinel-masked k-mer (runs
+    ride to the front in ascending order; counts travel as the payload) —
+    the same oblivious-compaction trick as contig/graph._aggregate_batch.
     """
-    x = sorted_kmers
-    n = x.shape[0]
-    first = jnp.concatenate([jnp.ones((1,), bool), x[1:] != x[:-1]])
-    first = first & (x != SENTINEL)
-    idx = jnp.arange(n, dtype=jnp.int64)
-    # start index of each run, compacted to front (stable sort of ~first)
-    order = jnp.argsort(~first, stable=True)
-    starts = idx[order]                      # first n_unique entries are run starts
-    n_unique = jnp.sum(first.astype(jnp.int64))
-    uniq = x[starts]
-    # end of run r = start of run r+1 (or first sentinel/total length)
-    n_total = jnp.sum((x != SENTINEL).astype(jnp.int64))
-    next_starts = jnp.concatenate([starts[1:], jnp.array([n], jnp.int64)])
-    ends = jnp.where(jnp.arange(n) == n_unique - 1, n_total, next_starts)
-    counts = jnp.where(jnp.arange(n) < n_unique, ends - starts, 0)
-    uniq = jnp.where(jnp.arange(n) < n_unique, uniq, SENTINEL)
-    return uniq, counts, n_unique
+    uniq_m, counts_m, n_unique = _runs_masked(sorted_kmers)
+    uniq, counts = jax.lax.sort((uniq_m, counts_m), num_keys=1)
+    return uniq, counts.astype(jnp.int64), n_unique
+
+
+@functools.partial(jax.jit, static_argnames=("ksize",))
+def count_unique_fast(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int):
+    """PRODUCTION counting kernel: chop + ONE device sort + gather-free
+    run-length encode, (unique, counts) left at their sorted positions
+    (SENTINEL/0 elsewhere) — no device-side compaction pass.
+
+    This is what KmerCounter/kmerfreq run per batch (the kmerfreq
+    replacement for the ingest hot loop DBG_contig/DBGgraph.cpp:167-205 and
+    the external counter of correct_error/main.cpp:161-220), and what
+    bench.py times.  Host finalize compacts with a boolean mask — a
+    memory-bandwidth pass that overlaps the next batch; species order is
+    unchanged (masked slots only drop out).
+    Returns (uniq_masked [N*P] u64, counts_masked [N*P] i32,
+    n_unique i64, n_valid i64).
+    """
+    flat, n_valid = chop_canonical(codes, lengths, ksize, sort=False)
+    flat = jnp.sort(flat)
+    uniq_m, counts_m, n_unique = _runs_masked(flat)
+    return uniq_m, counts_m, n_unique, n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "row"))
+def count_unique_compact(codes: jnp.ndarray, lengths: jnp.ndarray,
+                         ksize: int, row: int = 32768):
+    """count_unique_fast + device-side compaction by ROW SORT: the masked
+    (unique, counts) planes are reshaped to [T, row] and pair-sorted along
+    the row axis.  Within a row the masked uniques are already ascending,
+    so the row sort is a stable compaction; across rows global order is
+    preserved (row r's uniques all precede row r+1's).  A [T,row] sort
+    costs ~1/4 of a monolithic sort (PROFILE.md rowsort line).
+    Returns (uniq [T,row], counts [T,row], n_per_row [T] i32, n_unique,
+    n_valid); host concatenates row prefixes.
+    """
+    uniq_m, counts_m, n_unique, n_valid = count_unique_fast(
+        codes, lengths, ksize)
+    n = uniq_m.shape[0]
+    pad = (-n) % row
+    if pad:
+        uniq_m = jnp.concatenate(
+            [uniq_m, jnp.full((pad,), SENTINEL, jnp.uint64)])
+        counts_m = jnp.concatenate(
+            [counts_m, jnp.zeros((pad,), counts_m.dtype)])
+    ur = uniq_m.reshape(-1, row)
+    cr = counts_m.reshape(-1, row)
+    ur, cr = jax.lax.sort((ur, cr), dimension=1, num_keys=1)
+    n_per_row = jnp.sum((ur != SENTINEL).astype(jnp.int32), axis=1)
+    return ur, cr, n_per_row, n_unique, n_valid
 
 
 @functools.partial(jax.jit, static_argnames=("max_freq",))
@@ -172,14 +244,18 @@ def count_spectrum_fast_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
 def count_batch(codes: np.ndarray, lengths: np.ndarray, ksize: int):
     """Count canonical k-mers of one batch on the default device.
 
+    Device side = count_unique_fast (chop + ONE sort + gather-free RLE,
+    measured 62x the reference single-core ingest on TPU — PROFILE.md
+    round 4); the boolean-mask compaction here is a host memory-bandwidth
+    pass, part of the same streaming merge KmerCounter already does.
     Returns (unique_sorted np.uint64 [M], counts np.int64 [M], total_kmers).
     """
-    flat, n_valid = chop_canonical(jnp.asarray(codes), jnp.asarray(lengths),
-                                   ksize)
-    uniq, counts, n_unique = run_length(flat)
-    n_unique = int(n_unique)
-    return (np.asarray(uniq[:n_unique]), np.asarray(counts[:n_unique]),
-            int(n_valid))
+    uniq_m, counts_m, n_unique, n_valid = count_unique_fast(
+        jnp.asarray(codes), jnp.asarray(lengths), ksize)
+    uniq_m = np.asarray(uniq_m)
+    counts_m = np.asarray(counts_m)
+    keep = uniq_m != SENTINEL
+    return (uniq_m[keep], counts_m[keep].astype(np.int64), int(n_valid))
 
 
 def merge_counted(parts: list[tuple[np.ndarray, np.ndarray]]):

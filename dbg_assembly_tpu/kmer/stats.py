@@ -28,6 +28,25 @@ SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 _CHUNK = 1 << 20
 
 
+def rcummin_blocked(x: jnp.ndarray, fill, block: int = 4096) -> jnp.ndarray:
+    """Exact reverse cumulative min of a 1-D vector, two-level blocked.
+
+    A flat lax.cummin over tens of millions of elements costs ~47 ms and
+    compiles pathologically (PROFILE.md item 3); block-local scans along a
+    short axis plus a cross-block carry scan run at memory bandwidth."""
+    n = x.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    xp = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
+    blk = xp.reshape(nb, block)
+    within = jax.lax.cummin(blk, axis=1, reverse=True)
+    bmin = within[:, 0]                                   # [nb]
+    nxt = jnp.concatenate([bmin[1:], jnp.full((1,), fill, x.dtype)])
+    carry = jax.lax.cummin(nxt, reverse=True)             # short scan [nb]
+    out = jnp.minimum(within, carry[:, None])
+    return out.reshape(nb * block)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("nbins",))
 def histogram_small(v: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
     """Histogram of int32 values into [0, nbins); out-of-range values are
