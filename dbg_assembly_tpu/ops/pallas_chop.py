@@ -99,9 +99,9 @@ def chop_canonical_pallas(codes: jnp.ndarray, ksize: int,
     hi, lo = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec((block, Lp), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((block, Lp), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((block, Pp), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((block, Pp), lambda i: (i, i * 0),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=out_shape,
     )(codes)

@@ -96,7 +96,10 @@ def main(genome_mb=4.6):
     workdir = "/tmp/doubling_scale"
     os.makedirs(workdir, exist_ok=True)
 
-    params = AssembleParams(ksize=K, init_hash_size=0.02)
+    # hash sized to the node count (the reference would -e enlarge; the
+    # emulation pre-sizes instead): nodes/0.7 capacity with headroom
+    init_g = max(0.02, len(table.kmers) / 0.7 / 1e9 * 1.15)
+    params = AssembleParams(ksize=K, init_hash_size=init_g)
     hp = os.path.join(workdir, "exact")
     t0 = time.time()
     hs = RefAssembler(table, params).run(hp)
@@ -105,7 +108,7 @@ def main(genome_mb=4.6):
          f"(tips {hs.tips_removed}, lowedges {hs.lowedges_removed}, "
          f"bubbles {hs.bubbles_removed}, contigs {hs.contig_num})")
 
-    params2 = AssembleParams(ksize=K, init_hash_size=0.02)
+    params2 = AssembleParams(ksize=K, init_hash_size=init_g)
     dp = os.path.join(workdir, "dbl")
     t0 = time.time()
     ds = pd.assemble_doubling(table, params2, dp)
