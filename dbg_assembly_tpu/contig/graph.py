@@ -84,9 +84,15 @@ def _chop_with_edges(codes: jnp.ndarray, lengths: jnp.ndarray, ksize: int):
 def _aggregate_batch(codes, lengths, ksize, base_index):
     """Chop one batch and segment-reduce edge counters per unique k-mer.
 
-    Returns (uniq [n], lcnt [n,4], rcnt [n,4], first_idx [n], n_unique,
-    n_valid) — arrays padded to n = N*P with SENTINEL rows at the end.
+    Returns (uniq [n], lcnt [n,4], rcnt [n,4], first_idx [n], counts [n],
+    n_unique, n_valid) with per-run records left MASKED AT THEIR SORTED
+    POSITIONS (SENTINEL/0 at non-run-start slots), n = N*P.  Round-4
+    rework mirroring the counting path (PROFILE.md round-4 shootout): the
+    old device-side compaction sort cost a second full comparator pass
+    and the full-length lax.cummin scans compiled pathologically; the
+    masked form + host boolean-mask compaction is ~2x faster end to end.
     """
+    from ..kmer import stats as _stats
     can, left, right, valid = _chop_with_edges(codes, lengths, ksize)
     flat_k = can.reshape(-1)
     flat_l = left.reshape(-1)
@@ -100,7 +106,8 @@ def _aggregate_batch(codes, lengths, ksize, base_index):
     # ingest step 10x slower than the counting pipeline.  The left/right
     # edge codes ride in bits 41-46 of the stream-index operand (payload
     # width sets sort cost; stream positions stay < 2^41 = ~9 Tbp per
-    # ingest run, far past any input this pipeline feeds).
+    # ingest run, far past any input this pipeline feeds — and the
+    # GraphBuilder guards the bound).
     spacked = (stream_idx
                | (flat_l.astype(jnp.int64) << 41)
                | (flat_r.astype(jnp.int64) << 44))
@@ -115,18 +122,10 @@ def _aggregate_batch(codes, lengths, ksize, base_index):
     is_valid = (sk != SENTINEL)
     n_valid = jnp.sum(is_valid.astype(jnp.int64))
 
-    # All segment reductions WITHOUT data-dependent gathers or scatters
-    # (either is ~65 ns/element serial time on TPU; the sorts below are
-    # oblivious comparator networks and run at memory bandwidth):
-    #   * per-position segment bases via cummax of values masked to run
-    #     starts (the cumsums are monotone, so running max == "value at
-    #     my run's start");
-    #   * run totals/length materialize at run-LAST positions, identity
-    #     values at run-FIRST positions;
-    #   * two payload-carrying compaction sorts (keys: ~first / ~last)
-    #     bring rank r of BOTH compactions to the same run r — no cross
-    #     indexing needed.
-    pos = jnp.arange(n, dtype=jnp.int64)
+    # Segment reductions WITHOUT data-dependent gathers/scatters and
+    # WITHOUT flat scans: blocked two-level cumsum/reverse-cummin
+    # (kmer.stats) — run totals materialize at run-FIRST positions as
+    # "cum at run end" minus "cum before me".
     last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
     last = last & is_valid
 
@@ -134,44 +133,29 @@ def _aggregate_batch(codes, lengths, ksize, base_index):
     rhot = (sr[:, None] == jnp.arange(4)[None, :]).astype(jnp.int32)
     lhot = jnp.where(is_valid[:, None], lhot, 0)
     rhot = jnp.where(is_valid[:, None], rhot, 0)
-    cum_l = jnp.cumsum(lhot, axis=0)          # inclusive, monotone
-    cum_r = jnp.cumsum(rhot, axis=0)
-    # "cum at my run's END" at every position: reverse running min of the
-    # monotone cumsums masked to run-last positions
+    cum_l = _stats.cumsum_blocked(lhot)       # inclusive, monotone
+    cum_r = _stats.cumsum_blocked(rhot)
     BIGI = jnp.int32(2 ** 31 - 1)
-    end_l = jax.lax.cummin(jnp.where(last[:, None], cum_l, BIGI), axis=0,
-                           reverse=True)
-    end_r = jax.lax.cummin(jnp.where(last[:, None], cum_r, BIGI), axis=0,
-                           reverse=True)
+    end_l = _stats.rcummin_blocked(
+        jnp.where(last[:, None], cum_l, BIGI), BIGI)
+    end_r = _stats.rcummin_blocked(
+        jnp.where(last[:, None], cum_r, BIGI), BIGI)
     tot_l = end_l - (cum_l - lhot)            # run totals at FIRST positions
     tot_r = end_r - (cum_r - rhot)
-    # clip to the counter saturation point and pack 4 lanes per u32: the
-    # merge chain ends in min(total, 255), and min commutes with summing
-    # pre-clipped parts, so per-batch clipping is exact — and it makes
-    # the compaction sort carry 2 words instead of 8
-    sh = jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32)[None, :]
-    pk_l = jnp.sum(jnp.clip(tot_l, 0, 255).astype(jnp.uint32) << sh, axis=1)
-    pk_r = jnp.sum(jnp.clip(tot_r, 0, 255).astype(jnp.uint32) << sh, axis=1)
-    end_pos = jax.lax.cummin(jnp.where(last, pos, jnp.int64(n)),
-                             reverse=True)
-    run_len = (end_pos - pos + 1).astype(jnp.int32)
+    # clip to the counter saturation point: the merge chain ends in
+    # min(total, 255), and min commutes with summing pre-clipped parts,
+    # so per-batch clipping is exact
+    pos32 = jnp.arange(n, dtype=jnp.int32)
+    end_pos = _stats.rcummin_blocked(jnp.where(last, pos32, jnp.int32(n)),
+                                     jnp.int32(n))
+    run_len = end_pos - pos32 + 1
 
-    # ONE compaction sort (key: ~first, stable) brings every run's record
-    # — uniq k-mer, first stream index (stable sort keeps ascending sidx
-    # inside a run, so sidx at the start is the min), packed edge totals,
-    # run length — to the front in ascending-kmer order.
-    ka = (~first).astype(jnp.uint8)
-    _, uniq, first_idx, pl, pr, counts = jax.lax.sort(
-        (ka, sk, sidx, pk_l, pk_r, run_len), num_keys=1, is_stable=True)
-    lcnt = ((pl[:, None] >> sh) & jnp.uint32(255)).astype(jnp.int32)
-    rcnt = ((pr[:, None] >> sh) & jnp.uint32(255)).astype(jnp.int32)
-
-    in_front = pos < n_unique
-    uniq = jnp.where(in_front, uniq, SENTINEL)
-    first_idx = jnp.where(in_front, first_idx, jnp.int64(2 ** 62))
-    lcnt = jnp.where(in_front[:, None], lcnt, 0)
-    rcnt = jnp.where(in_front[:, None], rcnt, 0)
-    counts = jnp.where(in_front, counts, 0)
+    fm = first
+    uniq = jnp.where(fm, sk, SENTINEL)
+    first_idx = jnp.where(fm, sidx, jnp.int64(2 ** 62))
+    lcnt = jnp.where(fm[:, None], jnp.clip(tot_l, 0, 255), 0)
+    rcnt = jnp.where(fm[:, None], jnp.clip(tot_r, 0, 255), 0)
+    counts = jnp.where(fm, run_len, 0)
     return uniq, lcnt, rcnt, first_idx, counts, n_unique, n_valid
 
 
@@ -381,12 +365,16 @@ class GraphBuilder:
                  n_valid) = _aggregate_batch(
                     jnp.asarray(cb), jnp.asarray(lb), k,
                     jnp.int64(self.stream_pos))
-                n_uniq = int(n_uniq)
-                self.parts.append((np.asarray(uniq[:n_uniq]),
-                                   np.asarray(lcnt[:n_uniq]),
-                                   np.asarray(rcnt[:n_uniq]),
-                                   np.asarray(fidx[:n_uniq]),
-                                   np.asarray(cnt[:n_uniq])))
+                # outputs are masked at sorted positions (SENTINEL rows);
+                # boolean-mask compaction here is a host memory-bandwidth
+                # pass, same as the counting path (PROFILE.md round 4)
+                uniq = np.asarray(uniq)
+                keep_m = uniq != SENTINEL
+                self.parts.append((uniq[keep_m],
+                                   np.asarray(lcnt)[keep_m],
+                                   np.asarray(rcnt)[keep_m],
+                                   np.asarray(fidx)[keep_m],
+                                   np.asarray(cnt)[keep_m]))
             P = cb.shape[1] - k + 1
             self.stream_pos += len(cb) * P
             self.total_kmers += int(n_valid)

@@ -75,20 +75,13 @@ def count_spectrum_fast(codes: jnp.ndarray, lengths: jnp.ndarray,
     return spectrum, n_unique, n_valid
 
 
-def _runs_masked(sorted_kmers: jnp.ndarray):
-    """Run boundaries + EXACT run lengths of a sorted vector, in place.
-
-    Gather-free: boundaries by neighbor diff, run lengths by a blocked
+def _counts_from_first(first: jnp.ndarray, valid: jnp.ndarray):
+    """EXACT run lengths at run-start positions, gather-free: a blocked
     reverse cummin of next-boundary indices (stats.rcummin_blocked — the
     flat scan is 10x slower and compiles pathologically, PROFILE.md).
-    Returns (uniq_masked [n] u64 with SENTINEL at non-run-start slots,
-    counts_masked [n] i32 with 0 there, n_unique i64).
-    """
+    Returns (counts_masked [n] i32 with 0 off run starts, n_unique i64)."""
     from . import stats as _stats
-    x = sorted_kmers
-    n = x.shape[0]
-    valid = x != SENTINEL
-    first = jnp.concatenate([jnp.ones((1,), bool), x[1:] != x[:-1]]) & valid
+    n = first.shape[0]
     # a run also ends where the sentinel tail begins
     to_invalid = jnp.concatenate([jnp.zeros((1,), bool),
                                   valid[:-1] & ~valid[1:]])
@@ -102,6 +95,19 @@ def _runs_masked(sorted_kmers: jnp.ndarray):
     nxt = jnp.minimum(nxt, jnp.int32(n))
     counts = jnp.where(first, nxt - idx, 0)
     n_unique = jnp.sum(first.astype(jnp.int64))
+    return counts, n_unique
+
+
+def _runs_masked(sorted_kmers: jnp.ndarray):
+    """Run boundaries + EXACT run lengths of a sorted vector, in place.
+
+    Returns (uniq_masked [n] u64 with SENTINEL at non-run-start slots,
+    counts_masked [n] i32 with 0 there, n_unique i64).
+    """
+    x = sorted_kmers
+    valid = x != SENTINEL
+    first = jnp.concatenate([jnp.ones((1,), bool), x[1:] != x[:-1]]) & valid
+    counts, n_unique = _counts_from_first(first, valid)
     uniq = jnp.where(first, x, SENTINEL)
     return uniq, counts, n_unique
 
@@ -239,6 +245,35 @@ def count_spectrum_fast_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
                                                      max_freq=max_freq)
     n_valid = jnp.sum(valid.astype(jnp.int64))
     return spectrum, n_unique, n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("ksize", "block"))
+def count_unique_fast_pallas(codes: jnp.ndarray, lengths: jnp.ndarray,
+                             ksize: int, block: int = 1024):
+    """count_unique_fast with the Pallas fused chop kernel
+    (ops/pallas_chop.py, compiling on this attachment since the round-4
+    i32 index-map fix): canonical k-mers stay (hi, lo) u32 planes on the
+    32-bit VPU lanes, pair-sorted with lax.sort(num_keys=2), run-length
+    encoded on the pair planes.  Same contract as count_unique_fast with
+    uniques reassembled to u64 at masked positions."""
+    from ..ops import pallas_chop as pc
+    N, L = codes.shape
+    P = L - ksize + 1
+    hi, lo = pc.chop_canonical_pallas(codes, ksize, block=block)
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    valid = pos < (lengths[:, None] - ksize + 1)
+    U32M = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(valid, hi, U32M).reshape(-1)
+    lo = jnp.where(valid, lo, U32M).reshape(-1)
+    hi, lo = jax.lax.sort((hi, lo), num_keys=2)
+    valid_s = ~((hi == U32M) & (lo == U32M))
+    diff = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    first = jnp.concatenate([jnp.ones((1,), bool), diff]) & valid_s
+    counts, n_unique = _counts_from_first(first, valid_s)
+    u64 = (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
+    uniq = jnp.where(first, u64, SENTINEL)
+    n_valid = jnp.sum(valid.astype(jnp.int64))
+    return uniq, counts, n_unique, n_valid
 
 
 def count_batch(codes: np.ndarray, lengths: np.ndarray, ksize: int):

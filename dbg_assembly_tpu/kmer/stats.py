@@ -29,22 +29,42 @@ _CHUNK = 1 << 20
 
 
 def rcummin_blocked(x: jnp.ndarray, fill, block: int = 4096) -> jnp.ndarray:
-    """Exact reverse cumulative min of a 1-D vector, two-level blocked.
+    """Exact reverse cumulative min along axis 0, two-level blocked.
 
     A flat lax.cummin over tens of millions of elements costs ~47 ms and
     compiles pathologically (PROFILE.md item 3); block-local scans along a
-    short axis plus a cross-block carry scan run at memory bandwidth."""
+    short axis plus a cross-block carry scan run at memory bandwidth.
+    Accepts [n] or [n, k]."""
     n = x.shape[0]
+    rest = x.shape[1:]
     nb = -(-n // block)
     pad = nb * block - n
-    xp = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
-    blk = xp.reshape(nb, block)
+    xp = jnp.concatenate(
+        [x, jnp.full((pad,) + rest, fill, x.dtype)]) if pad else x
+    blk = xp.reshape((nb, block) + rest)
     within = jax.lax.cummin(blk, axis=1, reverse=True)
-    bmin = within[:, 0]                                   # [nb]
-    nxt = jnp.concatenate([bmin[1:], jnp.full((1,), fill, x.dtype)])
-    carry = jax.lax.cummin(nxt, reverse=True)             # short scan [nb]
-    out = jnp.minimum(within, carry[:, None])
-    return out.reshape(nb * block)[:n]
+    bmin = within[:, 0]                                   # [nb, ...]
+    nxt = jnp.concatenate([bmin[1:], jnp.full((1,) + rest, fill, x.dtype)])
+    carry = jax.lax.cummin(nxt, axis=0, reverse=True)     # short scan
+    out = jnp.minimum(within, jnp.expand_dims(carry, 1))
+    return out.reshape((nb * block,) + rest)[:n]
+
+
+def cumsum_blocked(x: jnp.ndarray, block: int = 4096) -> jnp.ndarray:
+    """Exact INCLUSIVE cumulative sum along axis 0, two-level blocked
+    (same rationale as rcummin_blocked).  Accepts [n] or [n, k]."""
+    n = x.shape[0]
+    rest = x.shape[1:]
+    nb = -(-n // block)
+    pad = nb * block - n
+    xp = jnp.concatenate(
+        [x, jnp.zeros((pad,) + rest, x.dtype)]) if pad else x
+    blk = xp.reshape((nb, block) + rest)
+    within = jnp.cumsum(blk, axis=1)
+    btot = within[:, -1]                                  # [nb, ...]
+    carry = jnp.cumsum(btot, axis=0) - btot               # exclusive
+    out = within + jnp.expand_dims(carry, 1)
+    return out.reshape((nb * block,) + rest)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("nbins",))

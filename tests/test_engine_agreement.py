@@ -46,12 +46,16 @@ def test_aggregate_batch_jax_np_native_agree():
 
     uj, lj, rj, fj, cj, n_uniq, n_valid = G._aggregate_batch(
         jnp.asarray(codes), jnp.asarray(lengths), K, jnp.int64(0))
-    n_uniq = int(n_uniq)
-    uj = np.asarray(uj[:n_uniq])
-    lj = np.asarray(lj[:n_uniq])
-    rj = np.asarray(rj[:n_uniq])
-    fj = np.asarray(fj[:n_uniq])
-    cj = np.asarray(cj[:n_uniq])
+    # round-4 contract: records masked at sorted positions; compacting by
+    # mask must yield exactly n_unique rows in ascending k-mer order
+    uj = np.asarray(uj)
+    keep = uj != G.SENTINEL
+    assert keep.sum() == int(n_uniq)
+    uj = uj[keep]
+    lj = np.asarray(lj)[keep]
+    rj = np.asarray(rj)[keep]
+    fj = np.asarray(fj)[keep]
+    cj = np.asarray(cj)[keep]
 
     (un, ln, rn, fn, cn,
      n_valid_np) = G._aggregate_batch_np(codes, lengths, K, 0)

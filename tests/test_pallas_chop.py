@@ -28,6 +28,30 @@ def test_pallas_chop_matches_xla(ksize):
     assert np.array_equal(got, can)
 
 
+def test_pallas_production_kernel_matches_xla():
+    """count_unique_fast_pallas (fused chop + pair sort + pair RLE) must
+    produce the same compacted (unique, counts) as the XLA production
+    kernel count_unique_fast."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dbg_assembly_tpu.kmer import count as kc
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(300, 80), dtype=np.uint8)
+    codes[100:200] = codes[:100]
+    lengths = rng.integers(31, 81, size=300).astype(np.int32)
+    u1, c1, nu1, nv1 = kc.count_unique_fast(jnp.asarray(codes),
+                                            jnp.asarray(lengths), 31)
+    with pltpu.force_tpu_interpret_mode():
+        u2, c2, nu2, nv2 = kc.count_unique_fast_pallas(
+            jnp.asarray(codes), jnp.asarray(lengths), 31, block=64)
+    assert int(nu1) == int(nu2) and int(nv1) == int(nv2)
+    u1, c1, u2, c2 = map(np.asarray, (u1, c1, u2, c2))
+    k1 = u1 != kc.SENTINEL
+    k2 = u2 != kc.SENTINEL
+    assert np.array_equal(u1[k1], u2[k2])
+    assert np.array_equal(c1[k1], c2[k2])
+
+
 def test_pallas_count_pipeline_matches_xla():
     """count_spectrum_fast_pallas (fused chop + pair sort + pair stats)
     must equal the XLA fast pipeline exactly."""
