@@ -280,12 +280,20 @@ def count_batch(codes: np.ndarray, lengths: np.ndarray, ksize: int):
     """Count canonical k-mers of one batch on the default device.
 
     Device side = count_unique_fast (chop + ONE sort + gather-free RLE,
-    measured 62x the reference single-core ingest on TPU — PROFILE.md
+    measured 62.4x the reference single-core ingest on TPU — PROFILE.md
     round 4); the boolean-mask compaction here is a host memory-bandwidth
     pass, part of the same streaming merge KmerCounter already does.
+    DBG_PALLAS_CHOP=1 swaps in the Pallas fused-chop variant (69.8x, but
+    ~13 min of one-time remote Mosaic compile on the dev attachment —
+    opt-in until compiles are local/cached).
     Returns (unique_sorted np.uint64 [M], counts np.int64 [M], total_kmers).
     """
-    uniq_m, counts_m, n_unique, n_valid = count_unique_fast(
+    import os
+    kern = count_unique_fast
+    if (os.environ.get("DBG_PALLAS_CHOP") == "1"
+            and jax.default_backend() == "tpu"):
+        kern = count_unique_fast_pallas
+    uniq_m, counts_m, n_unique, n_valid = kern(
         jnp.asarray(codes), jnp.asarray(lengths), ksize)
     uniq_m = np.asarray(uniq_m)
     counts_m = np.asarray(counts_m)

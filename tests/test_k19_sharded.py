@@ -38,7 +38,8 @@ def test_k19_sharded_correction_matches_host_engine():
     mesh = Mesh(np.array(devs[:8]), ("d",))
 
     rng = np.random.default_rng(19)
-    glen, L, n = 120_000, 150, 64
+    glen, L, n = 3_000, 150, 256     # ~12.8x coverage: genomic
+    # k-mers land high-freq, planted errors low-freq
     genome = rng.integers(0, 4, size=glen).astype(np.uint8)
     starts = rng.integers(0, glen - L, size=n)
     codes = np.stack([genome[s:s + L] for s in starts])
