@@ -302,10 +302,13 @@ class GraphBuilder:
         cn = np.asarray(cnt)
         nu = np.asarray(n_unique)
         for d in range(un.shape[0]):
-            m = int(nu[d])
-            if m:
-                self.parts.append((un[d, :m], lc[d, :m], rc[d, :m],
-                                   fi[d, :m], cn[d, :m]))
+            # per-shard records are masked at sorted positions (round-4
+            # gather-free merge); boolean-mask compaction on host
+            keep = un[d] != SENTINEL
+            assert keep.sum() == int(nu[d])
+            if keep.any():
+                self.parts.append((un[d][keep], lc[d][keep], rc[d][keep],
+                                   fi[d][keep], cn[d][keep]))
         P = cb.shape[1] - k + 1
         # advance by the UNPADDED extent so stream positions match the
         # single-device builder bit-for-bit; padded rows' (overlapping)

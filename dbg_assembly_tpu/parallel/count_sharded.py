@@ -68,7 +68,9 @@ def count_step(codes, lengths, *, ksize: int, mesh, capacity: int):
     """One distributed counting step over reads sharded on the batch dim.
 
     Returns per-device-sharded (unique_kmers [D, capacity*D],
-    counts [D, capacity*D], n_unique [D], stats dict of global scalars).
+    counts [D, capacity*D], n_unique [D], stats dict of global scalars);
+    per-shard records are MASKED at their sorted positions (SENTINEL/0
+    at non-run-start slots) — compact by mask on host.
     """
     n_dev = mesh.shape["d"]
 
@@ -81,18 +83,11 @@ def count_step(codes, lengths, *, ksize: int, mesh, capacity: int):
                                   concat_axis=1, tiled=False)[0]
         mine = recv.reshape(-1)                         # [n_dev * capacity]
         sk = jnp.sort(mine)
-        first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-        first = first & (sk != SENTINEL)
-        n_unique = jnp.sum(first.astype(jnp.int64))
-        order = jnp.argsort(~first, stable=True)
-        starts = jnp.arange(sk.shape[0], dtype=jnp.int64)[order]
-        n_total = jnp.sum((sk != SENTINEL).astype(jnp.int64))
-        next_starts = jnp.concatenate(
-            [starts[1:], jnp.array([sk.shape[0]], jnp.int64)])
-        pos = jnp.arange(sk.shape[0], dtype=jnp.int64)
-        ends = jnp.where(pos == n_unique - 1, n_total, next_starts)
-        counts = jnp.where(pos < n_unique, ends - starts, 0)
-        uniq = jnp.where(pos < n_unique, sk[starts], SENTINEL)
+        # gather-free masked run-length encode (the shipped production
+        # form, kmer/count._runs_masked): the old argsort + sk[starts]
+        # compaction paid the ~65 ns/element serial-gather tax on TPU
+        from ..kmer.count import _runs_masked
+        uniq, counts, n_unique = _runs_masked(sk)
         g_total = jax.lax.psum(n_valid, "d")
         g_unique = jax.lax.psum(n_unique, "d")
         g_dropped = jax.lax.psum(dropped, "d")
@@ -213,7 +208,9 @@ def graph_ingest_step(codes, lengths, base_index=0, *, ksize: int, mesh,
     the insertion-order field the hash-layout emulation depends on.
 
     Returns per-device (uniq [D,n], lcnt [D,n,4], rcnt [D,n,4],
-    first_idx [D,n], n_unique [D]) and global stats.
+    first_idx [D,n], n_unique [D]) and global stats; per-shard records
+    are MASKED at their sorted positions (SENTINEL rows) — compact by
+    mask on host (GraphBuilder._add_mesh does).
     """
     from ..contig.graph import _chop_with_edges
     n_dev = mesh.shape["d"]
@@ -237,14 +234,19 @@ def graph_ingest_step(codes, lengths, base_index=0, *, ksize: int, mesh,
                                     concat_axis=1, tiled=False)[0].reshape(-1)
         recv_p = jax.lax.all_to_all(buf_p[None], "d", split_axis=1,
                                     concat_axis=1, tiled=False)[0].reshape(-1)
-        order = jnp.argsort(recv_k, stable=True)
-        sk = recv_k[order]
-        sp = recv_p[order]
+        # gather-free merge mirroring contig.graph._aggregate_batch: ONE
+        # payload-carrying stable sort (the argsort + gathers and the
+        # scatter-add segment_sums it replaces both pay ~65 ns/element of
+        # serial time on TPU), then blocked two-level scans.  Sources
+        # arrive in device order and bucketize is stable, so stream
+        # positions ascend within each run: the run head's payload holds
+        # the min position.
+        from ..kmer import stats as _stats
+        from ..kmer.count import _counts_from_first
+        sk, sp = jax.lax.sort((recv_k, recv_p), num_keys=1, is_stable=True)
         n = sk.shape[0]
         first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
         first = first & (sk != SENTINEL)
-        seg = jnp.maximum(jnp.cumsum(first.astype(jnp.int64)) - 1, 0) \
-            .astype(jnp.int32)
         is_valid = sk != SENTINEL
         edges = (sp & jnp.int64(63)).astype(jnp.int32)
         lbase = edges // 8
@@ -253,15 +255,20 @@ def graph_ingest_step(codes, lengths, base_index=0, *, ksize: int, mesh,
                 & is_valid[:, None]).astype(jnp.int32)
         rhot = ((rbase[:, None] == jnp.arange(4)[None, :])
                 & is_valid[:, None]).astype(jnp.int32)
-        lcnt = jax.ops.segment_sum(lhot, seg, num_segments=n)
-        rcnt = jax.ops.segment_sum(rhot, seg, num_segments=n)
-        uniq = jax.ops.segment_min(
-            jnp.where(is_valid, sk, SENTINEL), seg, num_segments=n)
-        first_idx = jax.ops.segment_min(
-            jnp.where(is_valid, sp >> 6, NO_IDX), seg, num_segments=n)
-        counts = jax.ops.segment_sum(is_valid.astype(jnp.int32), seg,
-                                     num_segments=n)
-        n_unique = jnp.sum(first.astype(jnp.int64))
+        last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+        last = last & is_valid
+        cum_l = _stats.cumsum_blocked(lhot)
+        cum_r = _stats.cumsum_blocked(rhot)
+        BIGI = jnp.int32(2 ** 31 - 1)
+        end_l = _stats.rcummin_blocked(
+            jnp.where(last[:, None], cum_l, BIGI), BIGI)
+        end_r = _stats.rcummin_blocked(
+            jnp.where(last[:, None], cum_r, BIGI), BIGI)
+        lcnt = jnp.where(first[:, None], end_l - (cum_l - lhot), 0)
+        rcnt = jnp.where(first[:, None], end_r - (cum_r - rhot), 0)
+        counts, n_unique = _counts_from_first(first, is_valid)
+        uniq = jnp.where(first, sk, SENTINEL)
+        first_idx = jnp.where(first, sp >> 6, NO_IDX)
         g_total = jax.lax.psum(n_valid, "d")
         g_unique = jax.lax.psum(n_unique, "d")
         g_dropped = jax.lax.psum(dropped, "d")

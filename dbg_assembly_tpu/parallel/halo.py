@@ -81,7 +81,8 @@ def count_halo_sharded(codes, lengths, *, ksize: int, mesh, capacity: int):
     shards over READS (dp); this shards over BASES of few long sequences.
 
     Returns per-device-sharded (uniq [D, n], counts [D, n], n_unique [D])
-    and a dict of global scalars (psum'd): total/unique/dropped.
+    and a dict of global scalars (psum'd): total/unique/dropped; per-shard
+    records are MASKED at their sorted positions (SENTINEL/0 slots).
     """
     n_dev = mesh.shape["d"]
 
@@ -99,18 +100,9 @@ def count_halo_sharded(codes, lengths, *, ksize: int, mesh, capacity: int):
         recv = jax.lax.all_to_all(buf[None], "d", split_axis=1,
                                   concat_axis=1, tiled=False)[0]
         sk = jnp.sort(recv.reshape(-1))
-        first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
-        first = first & (sk != SENTINEL)
-        n_unique = jnp.sum(first.astype(jnp.int64))
-        order = jnp.argsort(~first, stable=True)
-        starts = jnp.arange(sk.shape[0], dtype=jnp.int64)[order]
-        n_total = jnp.sum((sk != SENTINEL).astype(jnp.int64))
-        next_starts = jnp.concatenate(
-            [starts[1:], jnp.array([sk.shape[0]], jnp.int64)])
-        pos = jnp.arange(sk.shape[0], dtype=jnp.int64)
-        ends = jnp.where(pos == n_unique - 1, n_total, next_starts)
-        counts = jnp.where(pos < n_unique, ends - starts, 0)
-        uniq = jnp.where(pos < n_unique, sk[starts], SENTINEL)
+        # gather-free masked run-length encode (kmer/count._runs_masked)
+        from ..kmer.count import _runs_masked
+        uniq, counts, n_unique = _runs_masked(sk)
         g_total = jax.lax.psum(n_valid, "d")
         g_unique = jax.lax.psum(n_unique, "d")
         g_dropped = jax.lax.psum(dropped, "d")

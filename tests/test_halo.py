@@ -87,8 +87,11 @@ def test_count_halo_sharded_matches_oracle(mesh):
     counts = np.asarray(counts)
     n_unique = np.asarray(n_unique)
     got = {}
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
     for d in range(8):
-        for i in range(int(n_unique[d])):
+        keep = np.flatnonzero(uniq[d] != SENT)
+        assert len(keep) == int(n_unique[d])
+        for i in keep:
             got[int(uniq[d, i])] = int(counts[d, i])
 
     exp: dict[int, int] = {}

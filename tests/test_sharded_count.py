@@ -30,14 +30,17 @@ def test_sharded_count_matches_single_device():
     un = np.asarray(uniq)
     cn = np.asarray(counts)
     nu = np.asarray(n_unique)
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
     for d in range(un.shape[0]):
-        for i in range(int(nu[d])):
-            got[int(un[d, i])] = int(cn[d, i])
+        keep = un[d] != SENT          # records masked at sorted positions
+        assert keep.sum() == int(nu[d])
+        for u, c in zip(un[d][keep], cn[d][keep]):
+            got[int(u)] = int(c)
     assert got == dict(zip(ref_u.tolist(), ref_c.tolist()))
 
     # ownership: every kmer on device d must satisfy kmer % 8 == d
     for d in range(un.shape[0]):
-        vals = un[d, :int(nu[d])]
+        vals = un[d][un[d] != SENT]
         assert np.all(vals % 8 == d)
 
 
@@ -70,9 +73,12 @@ def test_skewed_input_overflows_then_counts_exactly():
     assert int(stats["total_kmers"]) == ref_total
     got = {}
     un, cn, nu = np.asarray(uniq), np.asarray(counts), np.asarray(n_unique)
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
     for d in range(un.shape[0]):
-        for i in range(int(nu[d])):
-            got[int(un[d, i])] = int(cn[d, i])
+        keep = un[d] != SENT
+        assert keep.sum() == int(nu[d])
+        for u, c in zip(un[d][keep], cn[d][keep]):
+            got[int(u)] = int(c)
     assert got == dict(zip(ref_u.tolist(), ref_c.tolist()))
 
 
@@ -94,8 +100,11 @@ def test_skewed_ingest_exact_edges():
     got_edges = {}
     un, ln_, rn = np.asarray(uniq), np.asarray(lcnt), np.asarray(rcnt)
     nu = np.asarray(n_unique)
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
     for d in range(un.shape[0]):
-        for i in range(int(nu[d])):
+        keep = np.flatnonzero(un[d] != SENT)
+        assert len(keep) == int(nu[d])
+        for i in keep:
             # raw step outputs are unsaturated; NodeTable-level
             # saturation (min 255) applies at GraphBuilder.finalize
             got_edges[int(un[d, i])] = (

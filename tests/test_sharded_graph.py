@@ -33,8 +33,11 @@ def test_distributed_graph_ingest_matches_single_device():
     lc = np.asarray(lcnt)
     rc = np.asarray(rcnt)
     nu = np.asarray(n_unique)
+    SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
     for d in range(un.shape[0]):
-        for i in range(int(nu[d])):
+        keep = np.flatnonzero(un[d] != SENT)
+        assert len(keep) == int(nu[d])
+        for i in keep:
             got[int(un[d, i])] = (tuple(lc[d, i]), tuple(rc[d, i]))
     want = {int(table.kmers[i]): (tuple(table.lcnt[i]), tuple(table.rcnt[i]))
             for i in range(table.n_nodes)}

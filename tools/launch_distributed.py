@@ -110,11 +110,15 @@ def main(argv=None):
                 cnts.addressable_shards, n_unique.addressable_shards):
             un = np.asarray(sh_u.data)[0]
             nc = int(np.asarray(sh_n.data)[0])
+            # per-shard records are masked at sorted positions (round-4
+            # gather-free merge); compact by boolean mask
+            keep = un != np.uint64(0xFFFFFFFFFFFFFFFF)
+            assert keep.sum() == nc, (keep.sum(), nc)
             if nc:
-                parts.append((un[:nc], np.asarray(sh_l.data)[0][:nc],
-                              np.asarray(sh_r.data)[0][:nc],
-                              np.asarray(sh_f.data)[0][:nc],
-                              np.asarray(sh_c.data)[0][:nc]))
+                parts.append((un[keep], np.asarray(sh_l.data)[0][keep],
+                              np.asarray(sh_r.data)[0][keep],
+                              np.asarray(sh_f.data)[0][keep],
+                              np.asarray(sh_c.data)[0][keep]))
         total_kmers += int(stats["total_kmers"]) \
             if pid == 0 else int(stats["total_kmers"])
         stream_pos += cb.shape[0] * a.num_processes * (L - k + 1)
