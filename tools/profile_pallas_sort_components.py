@@ -1,3 +1,8 @@
+"""Component timings of the Pallas hybrid bitonic sort (PROFILE.md round 4):
+tile sort / intra-tile merge / one XLA cross stage, fori-loop-differenced
+with a materialized scalar (block_until_ready under-reports on the axon
+backend — CLAUDE.md)."""
+
 import sys, os, time
 sys.setrecursionlimit(100000)
 sys.path.insert(0, "/root/repo")
