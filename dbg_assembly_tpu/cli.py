@@ -131,6 +131,11 @@ def _debruijn_contig(argv):
                     help="contig extraction engine: 'exact' replays the "
                     "reference serially (byte-exact); 'doubling' is the "
                     "scalable bulk-pruning + pointer-doubling assembler")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="run the DISTRIBUTED contig stage over an N-device "
+                    "jax Mesh (all_to_all ingest + sharded table "
+                    "search/links/resolve; implies doubling-readout "
+                    "semantics)")
     ap.add_argument("lib")
     a = ap.parse_args(argv)
     from .contig import pipeline
@@ -146,7 +151,8 @@ def _debruijn_contig(argv):
     stats = pipeline.run(a.lib, a.o, ksize=a.k, fmt=a.f, max_read_len=a.r,
                          params=params, readout=a.readout,
                          log_stream=sys.stderr, log_threads=a.t,
-                         log_buffer=a.b, log_doublings=a.e)
+                         log_buffer=a.b, log_doublings=a.e,
+                         mesh_devices=a.mesh)
 
 
 def _map_pair(argv):

@@ -25,10 +25,15 @@ def read_file_list(path: str) -> list[str]:
 def run(lib_file: str, prefix: str, ksize: int = 31, fmt: int = 1,
         max_read_len: int = 250, params: AssembleParams | None = None,
         readout: str = "exact", log_stream=None, log_threads: int = 10,
-        log_buffer: int = 10_000, log_doublings: int = 10):
+        log_buffer: int = 10_000, log_doublings: int = 10,
+        mesh_devices: int = 0):
     """readout="exact" replays the reference serially (byte-exact files);
     readout="doubling" runs the scalable bulk-pruning + pointer-doubling
     assembler (record-exact; file order may differ on length ties).
+    mesh_devices > 0 builds a jax Mesh over that many devices and runs the
+    DISTRIBUTED stage: all_to_all-routed ingest (GraphBuilder mesh mode) +
+    the mesh contig stage (sharded table search / links / resolve;
+    implies readout="doubling" semantics, byte-identical to it).
     log_stream: emit the reference-parity cerr run log there
     (contig/runlog.py; the reference's per-block heartbeat cadence follows
     log_buffer = its -b flag, log_threads its -t)."""
@@ -47,7 +52,11 @@ def run(lib_file: str, prefix: str, ksize: int = 31, fmt: int = 1,
                            max_doublings=log_doublings)
         log.parameters()
         log.hash_init()
-    gb = GraphBuilder(ksize, max_read_len)
+    mesh = None
+    if mesh_devices:
+        from ..parallel import mesh as meshmod
+        mesh = meshmod.data_mesh(mesh_devices)
+    gb = GraphBuilder(ksize, max_read_len, mesh=mesh)
     # file-level pipeline parallelism (SURVEY P3): the gz decode of file
     # i+1 overlaps the native ingest of file i (both release the GIL)
     from concurrent.futures import ThreadPoolExecutor
@@ -69,7 +78,11 @@ def run(lib_file: str, prefix: str, ksize: int = 31, fmt: int = 1,
                 log.file_end()
             gb.add(batch.codes, batch.lengths)
     table = gb.finalize()
-    if readout == "doubling":
+    if mesh is not None:
+        from .mesh_assemble import assemble_doubling_mesh
+        stats = assemble_doubling_mesh(table, params, prefix, mesh)
+        readout = "doubling"
+    elif readout == "doubling":
         from .pointer_doubling import assemble_doubling
         stats = assemble_doubling(table, params, prefix)
     else:
