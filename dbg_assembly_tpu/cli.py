@@ -85,6 +85,10 @@ def _correct(argv):
                     default="auto",
                     help="correction engine: auto = device (jax) on "
                     "accelerator backends, native C++ on CPU")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="run the SHARDED corrector over an N-device jax "
+                    "Mesh (4^k-bit table partitioned, probes collective — "
+                    "the k>17 capacity path; implies --engine jax)")
     ap.add_argument("cz")
     ap.add_argument("lib")
     a = ap.parse_args(argv)
@@ -93,7 +97,8 @@ def _correct(argv):
     params = CorrectParams(ksize=a.k, high_freq_reg_len=a.m, max_change=a.c,
                            further_trim=a.x, max_bbt_nodes=a.n,
                            min_read_len=a.r)
-    pipeline.run(a.cz, a.lib, params, fmt=a.f, engine=a.engine)
+    pipeline.run(a.cz, a.lib, params, fmt=a.f, engine=a.engine,
+                 mesh_devices=a.mesh)
     if a.j == 1:
         from .contig.pipeline import read_file_list
         from .utils.helpers import merge_corrected_pair

@@ -44,17 +44,25 @@ def load_bitmap_8bit(cz_path: str, ksize: int,
 
 
 def correct_batch_jax(batch, bitmap: np.ndarray, p: CorrectParams,
-                      chunk: int = 8192):
+                      chunk: int = 8192, mesh=None):
     """Device correction (correct/device.py) with host fallback for reads
     that exceed the fixed beam/slot shapes (byte-exactness guaranteed by
-    re-running flagged rows on the parity engine from the original read)."""
+    re-running flagged rows on the parity engine from the original read).
+    mesh: a jax Mesh switches to the SHARDED corrector (the 4^k-bit table
+    partitioned over the mesh, every probe a collective —
+    correct/sharded.correct_batch_sharded, bit-equal to the single-device
+    engine)."""
     import jax.numpy as jnp
     from . import device as dev
 
     n = batch.n_reads
     Lmax = batch.seqs_ascii.shape[1]
     lengths = batch.lengths.astype(np.int32)
-    bitmap_dev = dev.bitmap_device(bitmap)
+    if mesh is not None:
+        from . import sharded as csh
+        bm_shard = csh.shard_bitmap(mesh, bitmap)
+    else:
+        bitmap_dev = dev.bitmap_device(bitmap)
     ones = np.zeros(n, np.int32)
     multis = np.zeros(n, np.int32)
     deleteds = np.zeros(n, np.int32)
@@ -72,8 +80,12 @@ def correct_batch_jax(batch, bitmap: np.ndarray, p: CorrectParams,
         a[:c] = batch.seqs_ascii[off:end]
         cd[:c] = batch.codes[off:end]
         ln[:c] = lengths[off:end]
-        (o, m, d, tl, tr, am, fb) = dev.correct_batch_device(
-            a, cd, ln, bitmap_dev, p)
+        if mesh is not None:
+            (o, m, d, tl, tr, am, fb) = csh.correct_batch_sharded(
+                mesh, a, cd, ln, bm_shard, p)
+        else:
+            (o, m, d, tl, tr, am, fb) = dev.correct_batch_device(
+                a, cd, ln, bitmap_dev, p)
         ones[off:end] = o[:c]
         multis[off:end] = m[:c]
         deleteds[off:end] = d[:c]
@@ -113,7 +125,7 @@ def _engine(requested: str = "auto") -> str:
 
 
 def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
-                 fmt: int = 1, engine: str = "auto") -> dict:
+                 fmt: int = 1, engine: str = "auto", mesh=None) -> dict:
     """engine 'native' uses the C++ batch corrector (native/
     correct_engine.cpp, same semantics as the Python ReadCorrector —
     cross-verified in tests); 'python' forces the reference Python path;
@@ -153,7 +165,7 @@ def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
         reads_mod = flat.reshape(n, Lmax)
     elif engine == "jax" and n > 0:
         (ones, multis, deleteds, tls,
-         trs, reads_mod) = correct_batch_jax(batch, bitmap, p)
+         trs, reads_mod) = correct_batch_jax(batch, bitmap, p, mesh=mesh)
     else:
         corr = ReadCorrector(bitmap, p)
         ones = np.zeros(n, np.int32)
@@ -214,15 +226,25 @@ def correct_file(path: str, bitmap: np.ndarray, params: CorrectParams,
 
 
 def run(cz_path: str, lib_path: str, params: CorrectParams | None = None,
-        fmt: int = 1, engine: str = "auto") -> list[dict]:
+        fmt: int = 1, engine: str = "auto",
+        mesh_devices: int = 0) -> list[dict]:
+    """mesh_devices > 0 runs the SHARDED corrector over that many devices
+    (table partitioned, probes collective — the k>17 capacity path);
+    implies the jax engine."""
     from ..contig.pipeline import read_file_list
 
     if params is None:
         params = CorrectParams()
     bitmap = load_bitmap(cz_path, params.ksize)
+    mesh = None
+    if mesh_devices:
+        from ..parallel import mesh as meshmod
+        mesh = meshmod.data_mesh(mesh_devices)
+        engine = "jax"
     results = []
     for path in read_file_list(lib_path):
-        results.append(correct_file(path, bitmap, params, fmt, engine))
+        results.append(correct_file(path, bitmap, params, fmt, engine,
+                                    mesh=mesh))
     return results
 
 
