@@ -36,6 +36,8 @@ class PipelineConfig:
     init_hash_size: float = 0.1
     contig_len_cutoff: int = 125
     readout: str = "exact"      # "doubling" = scalable bulk assembler
+    mesh_devices: int = 0       # >0: distributed correction + contig
+                                # stages over an N-device jax Mesh
     # scaffolding defaults (overridden per .para row)
     map_min_ctg: int = 125
     map_min_read: int = 250
@@ -78,7 +80,7 @@ def correct_reads(cleaned: list[str], cfg: PipelineConfig,
                       low_freq_cutoff=cfg.low_freq_cutoff)
     corr.run(kf["cz"], lib,
              CorrectParams(ksize=cfg.correct_k, max_change=cfg.max_change),
-             fmt=1)
+             fmt=1, mesh_devices=cfg.mesh_devices)
     return [p + ".correct.fa.gz" for p in cleaned]
 
 
@@ -94,7 +96,7 @@ def build_contigs(corrected: list[str], cfg: PipelineConfig,
                             contig_len_cutoff=cfg.contig_len_cutoff)
     ctg.run(lib, prefix, ksize=cfg.contig_k, fmt=2,
             max_read_len=cfg.max_read_len, params=params,
-            readout=cfg.readout)
+            readout=cfg.readout, mesh_devices=cfg.mesh_devices)
     return prefix + ".contig.seq.fa"
 
 

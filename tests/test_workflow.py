@@ -28,7 +28,12 @@ def _canon_contig_set(path):
     return sorted(out)
 
 
-@pytest.mark.parametrize("readout", ["exact", "doubling"])
+_MODES = ["exact", "doubling"]
+if os.environ.get("DBG_SLOW_TESTS") == "1":
+    _MODES.append("mesh")      # distributed correction+contig stages
+
+
+@pytest.mark.parametrize("readout", _MODES)
 def test_run_full_pipeline(tmp_path, readout):
     from dbg_assembly_tpu.workflow import PipelineConfig, run_full
     from dbg_assembly_tpu.utils import nstat
@@ -36,7 +41,9 @@ def test_run_full_pipeline(tmp_path, readout):
     ds = golden.sim_dataset()
     raw_libs = [(p1, p2, ins) for p1, p2, ins in ds["libs"]]
     cfg = PipelineConfig(correct_k=13, init_hash_size=0.01,
-                         map_min_read=100, readout=readout)
+                         map_min_read=100,
+                         readout="doubling" if readout == "mesh" else readout,
+                         mesh_devices=8 if readout == "mesh" else 0)
     out = run_full(raw_libs, cfg, str(tmp_path / "work"))
     assert os.path.exists(out["contigs"])
     assert os.path.exists(out["scaffolds"])
@@ -48,5 +55,7 @@ def test_run_full_pipeline(tmp_path, readout):
     # output order/strand are hash-iteration artifacts, pointer_doubling.py
     # module docstring)
     _contig_sets[readout] = _canon_contig_set(out["contigs"])
-    if len(_contig_sets) == 2:
+    if "exact" in _contig_sets and "doubling" in _contig_sets:
         assert _contig_sets["exact"] == _contig_sets["doubling"]
+    if "mesh" in _contig_sets and "exact" in _contig_sets:
+        assert _contig_sets["mesh"] == _contig_sets["exact"]
