@@ -347,6 +347,61 @@ def _blasrm4(argv):
             print(line)
 
 
+def _split_libfile(argv):
+    ap = argparse.ArgumentParser(
+        prog="split_libfile",
+        description="split a .lib into one-line libs for job arrays "
+                    "(parity: correct_error/split_libfile.pl)")
+    ap.add_argument("lib")
+    a = ap.parse_args(argv)
+    from .utils.helpers import split_libfile
+    for p in split_libfile(a.lib):
+        print(p)
+
+
+def _rev_com_seq(argv):
+    ap = argparse.ArgumentParser(
+        prog="rev_com_seq",
+        description="reverse-complement every FASTA record "
+                    "(parity: link_scaffold/rev_com_seq.pl)")
+    ap.add_argument("fasta")
+    ap.add_argument("-o", default=None,
+                    help="output path (default <fasta>.revcom.fa)")
+    a = ap.parse_args(argv)
+    from .utils.helpers import rev_com_seq_file
+    out = a.o or a.fasta + ".revcom.fa"
+    rev_com_seq_file(a.fasta, out)
+    print(out)
+
+
+def _fullread_to_subread(argv):
+    ap = argparse.ArgumentParser(
+        prog="fullread_to_subread",
+        description="pbsim FASTQ -> PacBio-style subread headers "
+                    "(parity: link_scaffold/fullread_to_subread.pl)")
+    ap.add_argument("fastq")
+    ap.add_argument("smart_cell_id", nargs="?", default="m0001")
+    a = ap.parse_args(argv)
+    from .utils import pacbio
+    with open(a.fastq) as f:
+        lines = f.read().splitlines()
+    for line in pacbio.fullread_to_subread(lines, a.smart_cell_id):
+        print(line)
+
+
+def _simulate_lowfreq_kmer(argv):
+    ap = argparse.ArgumentParser(
+        prog="simulate_lowfreq_kmer",
+        description="k-size selection research tool "
+                    "(parity: correct_error/simulate_lowfreq_kmer.cpp)")
+    ap.add_argument("-k", type=int, default=17, help="kmer size")
+    ap.add_argument("-s", type=int, default=100, help="mutation spacing bp")
+    ap.add_argument("genome")
+    a = ap.parse_args(argv)
+    from .utils.simulate_lowfreq import run
+    run(a.genome, a.k, a.s)
+
+
 def _pipeline(argv):
     ap = argparse.ArgumentParser(
         prog="pipeline",
@@ -387,6 +442,10 @@ COMMANDS = {
     "filter_unpaired_reads": _filter_unpaired,
     "merge_assembly": _merge_assembly,
     "blasrm4": _blasrm4,
+    "split_libfile": _split_libfile,
+    "rev_com_seq": _rev_com_seq,
+    "fullread_to_subread": _fullread_to_subread,
+    "simulate_lowfreq_kmer": _simulate_lowfreq_kmer,
     "pipeline": _pipeline,
 }
 

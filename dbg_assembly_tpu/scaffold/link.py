@@ -195,6 +195,44 @@ class LinkGraph:
                         self.delete_link(i, end_node)
                         self.counters["interleave"] += 1
 
+    def strong_remove_interleaving(self):
+        """Parity: strong_remove_interleaving_links (link_func.cpp:587-666)
+        — 2-rank BFS variant designed for PacBio scaffolding (unspecific
+        mapping yields missing hits).  Dead code in the reference driver
+        (call commented out at link_supertig.cpp:209) but part of the
+        component surface.
+
+        For every live node with 2..3 out-links: collect each direct
+        successor's descendants to rank 2; any direct successor that also
+        appears as a descendant (of any successor, itself included) gets
+        its direct link from the start node removed, in ascending target
+        order (std::map iteration)."""
+        RANK_NUM = 2
+        for i in range(1, self.n):
+            if self.deleted[i] or not (2 <= self.link[i] <= 3):
+                continue
+            ids, _ = self.linked_ids(i)
+            children = []
+            for j in ids:
+                vec = []
+                cur = [j]
+                for _ in range(RANK_NUM):
+                    nxt = []
+                    for node in cur:
+                        lk, _ = self.linked_ids(node)
+                        nxt.extend(lk)
+                        vec.extend(lk)
+                    cur = nxt
+                children.append(vec)
+            targets = set()
+            for vec in children:
+                for t in ids:
+                    if t in vec:
+                        targets.add(t)
+            for t in sorted(targets):
+                self.delete_link(i, t)
+                self.counters["interleave"] += 1
+
     def remove_repeat_nodes(self):
         """Parity: remove_repeat_nodes (link_func.cpp:713-726)."""
         repeat = []

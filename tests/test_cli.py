@@ -52,3 +52,34 @@ def test_cli_contig_and_stats(tmp_path):
     assert main(["fasta_len", fa]) == 0
     assert main(["seqlen_stat", fa + ".len"]) == 0
     assert os.path.exists(fa + ".len.stat")
+
+
+def test_cli_small_tools(tmp_path, capsys):
+    # split_libfile
+    lib = str(tmp_path / "x.lib")
+    open(lib, "w").write("a.fq.gz\nb.fq.gz\n")
+    assert main(["split_libfile", lib]) == 0
+    assert open(lib + ".1").read() == "a.fq.gz\n"
+    assert open(lib + ".2").read() == "b.fq.gz\n"
+    # rev_com_seq
+    fa = str(tmp_path / "x.fa")
+    open(fa, "w").write(">c1 extra\nACGTN\n")
+    assert main(["rev_com_seq", fa]) == 0
+    txt = open(fa + ".revcom.fa").read()
+    assert txt == ">c1_rc\nNACGT\n"
+    # fullread_to_subread
+    fq = str(tmp_path / "x.fq")
+    open(fq, "w").write("@r1\nACGT\n+\nIIII\n")
+    capsys.readouterr()
+    assert main(["fullread_to_subread", fq, "m9"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[0] == "@m9/1/0_4 RQ=0.84"
+    # simulate_lowfreq_kmer
+    g = str(tmp_path / "g.fa")
+    rng = np.random.default_rng(7)
+    open(g, "w").write(">g\n" + "".join(
+        "ACGT"[c] for c in rng.integers(0, 4, 500)) + "\n")
+    capsys.readouterr()
+    assert main(["simulate_lowfreq_kmer", "-k", "9", "-s", "50", g]) == 0
+    out = capsys.readouterr().out
+    assert "Kmer species number" in out
