@@ -60,14 +60,18 @@ def _kmerfreq(argv):
     ap.add_argument("-m", type=int, default=1,
                     help="low frequency cutoff (bit set iff count > m)")
     ap.add_argument("-q", type=int, default=0,
-                    help="accepted for workflow compatibility (quality "
-                         "masking not applied)")
+                    help="quality cutoff: k-mer windows covering a base "
+                         "with Phred quality < q are not counted")
+    ap.add_argument("--qshift", type=int, default=33,
+                    help="quality ASCII shift (Quality_shift convention, "
+                         "clean_lowqual.cpp:26)")
     ap.add_argument("-f", type=int, default=1)
     ap.add_argument("lib")
     a = ap.parse_args(argv)
     from .kmer import kmerfreq
     kmerfreq.run(a.lib, ksize=a.k, low_freq_cutoff=a.m,
-                 fmt="fq" if a.f == 1 else "fa")
+                 fmt="fq" if a.f == 1 else "fa",
+                 qual_cutoff=a.q, qual_shift=a.qshift)
 
 
 def _correct(argv):

@@ -98,6 +98,9 @@ def _aggregate_batch(codes, lengths, ksize, base_index):
     flat_l = left.reshape(-1)
     flat_r = right.reshape(-1)
     n = flat_k.shape[0]
+    if n >= 2 ** 31:
+        raise OverflowError(f"batch of {n} k-mer slots exceeds the int32 "
+                            "position index; split the batch")
     stream_idx = base_index + jnp.arange(n, dtype=jnp.int64)
 
     # ONE two-operand sort carries the payloads through the comparator
@@ -305,7 +308,11 @@ class GraphBuilder:
             # per-shard records are masked at sorted positions (round-4
             # gather-free merge); boolean-mask compaction on host
             keep = un[d] != SENTINEL
-            assert keep.sum() == int(nu[d])
+            if int(keep.sum()) != int(nu[d]):
+                raise RuntimeError(
+                    f"shard {d}: masked-record count {int(keep.sum())} != "
+                    f"reported n_unique {int(nu[d])} — merged node table "
+                    "would be corrupt")
             if keep.any():
                 self.parts.append((un[d][keep], lc[d][keep], rc[d][keep],
                                    fi[d][keep], cn[d][keep]))

@@ -203,10 +203,14 @@ class MeshGraph(_Graph):
         Q = len(nf)
         if Q == 0:
             return np.zeros(0, np.int64)
-        # pad to a power-of-two multiple of D to bound recompiles
-        Qp = self._D
+        # pad to a power-of-FOUR multiple of D, never shrinking below the
+        # largest size already compiled: recompiles are bounded by
+        # log4(M/D) per table shape even for pathological Q sequences
+        # (each remote Mosaic/XLA compile costs seconds on this attachment)
+        Qp = max(self._D, getattr(self, "_search_pad_max", 0))
         while Qp < Q:
-            Qp *= 2
+            Qp *= 4
+        self._search_pad_max = Qp
         qp = np.full(Qp, SENTINEL, np.uint64)
         qp[:Q] = np.asarray(nf, np.uint64)
         q = jax.device_put(qp, NamedSharding(self.mesh, P(self.axis)))

@@ -37,7 +37,7 @@ def _pvary_if_replicated(x, axis: str):
     pcast rejects already-varying operands, and loop carries under
     shard_map arrive in a mix of both."""
     try:
-        vma = jax.core.get_aval(x).vma
+        vma = jax.typeof(x).vma
     except Exception:
         vma = frozenset()
     if axis in vma:

@@ -79,9 +79,16 @@ def _counts_from_first(first: jnp.ndarray, valid: jnp.ndarray):
     """EXACT run lengths at run-start positions, gather-free: a blocked
     reverse cummin of next-boundary indices (stats.rcummin_blocked — the
     flat scan is 10x slower and compiles pathologically, PROFILE.md).
-    Returns (counts_masked [n] i32 with 0 off run starts, n_unique i64)."""
+    Returns (counts_masked [n] i32 with 0 off run starts, n_unique i64).
+
+    Positions are int32: a single batch is capped at 2**31 k-mer slots
+    (~2e9 — 86x the production 25M-slot batch; the stream-index bound
+    contig/graph.py guards separately is 2**41 ACROSS batches)."""
     from . import stats as _stats
     n = first.shape[0]
+    if n >= 2 ** 31:
+        raise OverflowError(f"batch of {n} k-mer slots exceeds the int32 "
+                            "position index; split the batch")
     # a run also ends where the sentinel tail begins
     to_invalid = jnp.concatenate([jnp.zeros((1,), bool),
                                   valid[:-1] & ~valid[1:]])

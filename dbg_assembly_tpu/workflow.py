@@ -29,6 +29,7 @@ class PipelineConfig:
     # correction
     correct_k: int = 17
     low_freq_cutoff: int = 1
+    qual_cutoff: int = 10      # kmerfreq -q (work.sh:31 uses -q 10)
     max_change: int = 2
     # contigs
     contig_k: int = 31
@@ -77,7 +78,8 @@ def correct_reads(cleaned: list[str], cfg: PipelineConfig,
     with open(lib, "w") as f:
         f.write("".join(p + "\n" for p in cleaned))
     kf = kmerfreq.run(lib, ksize=cfg.correct_k,
-                      low_freq_cutoff=cfg.low_freq_cutoff)
+                      low_freq_cutoff=cfg.low_freq_cutoff,
+                      qual_cutoff=cfg.qual_cutoff)
     corr.run(kf["cz"], lib,
              CorrectParams(ksize=cfg.correct_k, max_change=cfg.max_change),
              fmt=1, mesh_devices=cfg.mesh_devices)
