@@ -286,6 +286,30 @@ class GraphBuilder:
         self.total_kmers = 0
         self.total_reads = 0
         self._native = None
+        # stream -> read-ordinal mapping for the enlargement/degrade
+        # emulation (kmerSet.cpp:132-189, DBGgraph.cpp:337-351): ordinals
+        # count EVERY read fed (including <k skips — they occupy reference
+        # buffer slots); segments record (stream_base, P, kept_ordinals)
+        self.read_seq = 0         # global read ordinal (incl. short reads)
+        self.file_starts: list[int] = []
+        self._segments: list[tuple[int, int, np.ndarray]] = []
+
+    def new_file(self) -> None:
+        """Mark a reference file boundary (buffers never span files)."""
+        self.file_starts.append(self.read_seq)
+
+    def stream_to_read(self, stream_idx: np.ndarray) -> np.ndarray:
+        """Map stream positions (first_idx values) to global read ordinals."""
+        if not self._segments:
+            return np.zeros(len(stream_idx), np.int64)
+        bases = np.array([s[0] for s in self._segments], np.int64)
+        seg = np.searchsorted(bases, stream_idx, side="right") - 1
+        out = np.empty(len(stream_idx), np.int64)
+        for s in np.unique(seg):
+            base, P, ords = self._segments[s]
+            m = seg == s
+            out[m] = ords[(stream_idx[m] - base) // P]
+        return out
 
     def _add_mesh(self, cb: np.ndarray, lb: np.ndarray) -> None:
         from ..parallel import count_sharded, mesh as meshmod
@@ -352,6 +376,9 @@ class GraphBuilder:
                 raise OverflowError(
                     "ingest stream index would exceed 2^41 positions "
                     f"({self.stream_pos + len(cb) * P_all}); split the run")
+            self._segments.append(
+                (self.stream_pos, P_all,
+                 self.read_seq + off + np.flatnonzero(keep)))
             if self.mesh is not None:
                 self._add_mesh(cb, lb)
                 continue
@@ -391,6 +418,7 @@ class GraphBuilder:
             self.total_reads += int(keep.sum())
             if len(self.parts) >= 8:
                 self.parts = _merge_parts(self.parts)
+        self.read_seq += len(codes)
 
     def finalize(self) -> NodeTable:
         if self._native is not None:

@@ -133,6 +133,93 @@ class AssembleParams:
     bubble_len_diff_rate: float = 0.1
     bubble_base_diff_rate: float = 0.1
     contig_len_cutoff: int = 125       # -M
+    max_doublings: int = 10            # -e (DBGgraph.cpp:18)
+    buffer_reads: int = 10_000         # -b (enlargement check granularity)
+
+
+def _cap(size: int, load: float) -> int:
+    """max = (uint64)(size * load_factor) with C FLOAT math
+    (kmerSet.cpp:113/149: load_factor is a 32-bit float member)."""
+    import numpy as np
+    return int(np.float32(size) * np.float32(load))
+
+
+@dataclass
+class HashSchedule:
+    """Enlargement/degrade plan derived from the first-occurrence read
+    ordinals (emulates the between-buffer checks of DBGgraph.cpp:337-351
+    and enlarge_kmerset_parallel, kmerSet.cpp:132-189)."""
+    sizes: list          # hash size per epoch (len == n_enlarge + 1)
+    ends: list           # node count at which each enlargement fires
+    enlarge_reads: list  # global read ordinal of each enlargement boundary
+    alerts: list         # (global boundary ordinal, Total_reads_num then)
+    ingest_ranges: list | None   # [(start, end)] per file; None = no degrade
+
+
+def compute_hash_schedule(first_read: "np.ndarray", file_starts: list,
+                          total_fed: int, params: AssembleParams):
+    """Walk the reference's per-buffer capacity checks.  first_read: the
+    first-occurrence global read ordinal of every NORMAL node (poly-A
+    bypasses the hash during ingest, DBGgraph.cpp:152-164).  A check fires
+    only after a FULL buffer (ReadsNum == BufferNum; a file's partial last
+    buffer breaks the loop before the check)."""
+    import numpy as np
+    from .. import native
+
+    p = params
+    init = int(p.init_hash_size * 1_000_000_000)
+    size = 3 if init < 3 else native.find_next_prime(init)
+    cap = _cap(size, p.load_factor)
+    b = p.buffer_reads
+    fr = np.sort(first_read)
+    bounds = list(file_starts) + [total_fed]
+    sizes = [size]
+    ends: list = []
+    enlarge_reads: list = []
+    alerts: list = []
+    ranges: list = []
+    t = 0
+    stopped = False
+    ingested = 0
+    for fi in range(len(file_starts)):
+        s, e = bounds[fi], bounds[fi + 1]
+        if stopped:
+            take = min(b, e - s)
+            ranges.append((s, s + take))
+            ingested += take
+            if e - s >= b:          # full buffer -> the check fires again
+                alerts.append((s + b, ingested))
+            continue
+        i = 1
+        while s + i * b <= e:
+            q = s + i * b
+            c = int(np.searchsorted(fr, q))
+            if c > cap:
+                if t < p.max_doublings:
+                    ns = size
+                    while True:     # kmerSet.cpp:137 do-while, float math
+                        ns = native.find_next_prime(ns * 2)
+                        if not (np.float32(ns) * np.float32(p.load_factor)
+                                < np.float32(c + 1)):
+                            break
+                    sizes.append(ns)
+                    ends.append(c)
+                    enlarge_reads.append(q)
+                    size = ns
+                    cap = _cap(size, p.load_factor)
+                    t += 1
+                else:
+                    stopped = True
+                    ranges.append((s, q))
+                    ingested += q - s
+                    alerts.append((q, ingested))
+                    break
+            i += 1
+        if not stopped:
+            ranges.append((s, e))
+            ingested += e - s
+    return HashSchedule(sizes, ends, enlarge_reads, alerts,
+                        ranges if stopped else None)
 
 
 @dataclass
@@ -162,18 +249,26 @@ class AssembleStats:
 class RefAssembler:
     """Replays the reference pipeline over a NodeTable (single instance use)."""
 
-    def __init__(self, table: NodeTable, params: AssembleParams):
+    def __init__(self, table: NodeTable, params: AssembleParams,
+                 schedule: "HashSchedule | None" = None, epoch_occ=None):
+        """schedule/epoch_occ: hash-enlargement emulation (pipeline.py
+        computes them when the node count exceeds the initial capacity);
+        epoch_occ[e] = per-table-row occurrence counts with read ordinal
+        below epoch boundary e (for the count_conflict parity)."""
         self.p = params
         self.k = params.ksize
         self.mask = (1 << (2 * self.k)) - 1
         self.stats = AssembleStats()
-        self._build_hash(table)
+        self._build_hash(table, schedule, epoch_occ)
 
     # ------------------------------------------------------------------ hash
-    def _build_hash(self, table: NodeTable):
+    def _build_hash(self, table: NodeTable, schedule=None, epoch_occ=None):
         p = self.p
-        init = int(p.init_hash_size * 1_000_000_000)
-        size = 3 if init < 3 else native.find_next_prime(init)
+        if schedule is not None:
+            size = schedule.sizes[-1]
+        else:
+            init = int(p.init_hash_size * 1_000_000_000)
+            size = 3 if init < 3 else native.find_next_prime(init)
         self.size = size
         self.stats.hash_size = size
 
@@ -194,25 +289,56 @@ class RefAssembler:
         # first_idx values are distinct; native LSD radix argsort is
         # stable and ~6x numpy's comparison argsort at 5M nodes
         order = normal[native.radix_argsort_u64(first_idx[normal])]
-        if len(order) > int(size * p.load_factor):
+        if schedule is None and len(order) > _cap(size, p.load_factor):
             raise RuntimeError(
                 f"node table ({len(order)}) exceeds hash capacity "
-                f"({size}*{p.load_factor}) — raise init_hash_size "
-                "(enlargement emulation not implemented)")
-        slots, conflicts = native.hash_layout(kmers[order], size)
-        self.stats.hash_conflicts = conflicts
-        if table.counts is not None:
-            # per-occurrence conflicts: every occurrence probes the full
-            # insert-time displacement of its species (the slot path is
-            # frozen at insert); poly-A k-mers bypass the hash
-            counts = table.counts
-            if len(counts) != M:
-                counts = np.concatenate([[np.int32(0)], counts])
-            home = (native.jenkins64(kmers[order])
-                    % np.uint64(size)).astype(np.int64)
-            disp = (slots - home) % size
-            self.stats.hash_conflicts_occ = int(
-                (disp * counts[order].astype(np.int64)).sum())
+                f"({size}*{p.load_factor}) and no enlargement schedule "
+                "was provided (pipeline.run computes one)")
+        if len(order) >= size:
+            raise RuntimeError(
+                f"node table ({len(order)}) would overfill the final hash "
+                f"({size}) — the reference would probe forever here")
+        counts = table.counts
+        if counts is not None and len(counts) != M:
+            counts = np.concatenate([[np.int32(0)], counts])
+        if schedule is not None and len(schedule.sizes) > 1:
+            slots, conflicts, snaps = native.hash_layout_epochs(
+                kmers[order], schedule.sizes, schedule.ends)
+            self.stats.hash_conflicts = conflicts
+            if counts is not None and epoch_occ is not None:
+                # occurrences in epoch e probe the epoch-e layout: the
+                # buffer whose completion triggers enlargement is inserted
+                # (and probed) BEFORE the redistribution
+                occ_cum = [np.zeros(M, np.int64)]
+                for o in epoch_occ:
+                    if len(o) != M:   # poly-A row prepended above
+                        o = np.concatenate([[np.int64(0)], o])
+                    occ_cum.append(o.astype(np.int64))
+                occ_cum.append(counts.astype(np.int64))
+                total = 0
+                for e in range(len(schedule.sizes)):
+                    sz = schedule.sizes[e]
+                    sl = snaps[e]
+                    ins = sl >= 0
+                    home = (native.jenkins64(kmers[order][ins])
+                            % np.uint64(sz)).astype(np.int64)
+                    disp = (sl[ins] - home) % sz
+                    d_occ = (occ_cum[e + 1][order][ins]
+                             - occ_cum[e][order][ins])
+                    total += int((disp * d_occ).sum())
+                self.stats.hash_conflicts_occ = total
+        else:
+            slots, conflicts = native.hash_layout(kmers[order], size)
+            self.stats.hash_conflicts = conflicts
+            if counts is not None:
+                # per-occurrence conflicts: every occurrence probes the
+                # full insert-time displacement of its species (the slot
+                # path is frozen at insert); poly-A k-mers bypass the hash
+                home = (native.jenkins64(kmers[order])
+                        % np.uint64(size)).astype(np.int64)
+                disp = (slots - home) % size
+                self.stats.hash_conflicts_occ = int(
+                    (disp * counts[order].astype(np.int64)).sum())
 
         # node arrays indexed by node id 0..M-1 (+ sentinel row M of zeros)
         self.kmer = np.concatenate([kmers, [np.uint64(0)]])

@@ -103,12 +103,19 @@ class ContigRunLog:
     def file_start(self, path: str):
         self._w(f"\nStart to parse reads file: {path}")
 
-    def file_blocks(self, read_lengths, ksize: int):
-        """Emit the per-buffer heartbeat groups for one file, given its
-        per-read lengths (already truncated to max_read_len).  Mirrors
-        parse_one_reads_file: every load attempt prints a group; the
-        attempt that loads fewer than a full buffer (possibly zero) prints
-        the end-of-file line."""
+    def file_blocks(self, read_lengths, ksize: int, file_start: int = 0,
+                    enlarges=None, alerts=None):
+        """Emit the per-buffer heartbeat groups for one file, given the
+        per-read lengths of the reads actually INGESTED (already truncated
+        to max_read_len).  Mirrors parse_one_reads_file: every load attempt
+        prints a group; the attempt that loads fewer than a full buffer
+        (possibly zero) prints the end-of-file line.
+
+        enlarges: {global read ordinal at a full-buffer boundary: new hash
+        size} — the Enlarge lines of DBGgraph.cpp:343-344; alerts:
+        {boundary ordinal: Total_reads_num} — the degrade Alert of
+        DBGgraph.cpp:348, after which the file loop breaks (no further
+        groups, no end-of-file line)."""
         n = len(read_lengths)
         b = self.buffer_reads
         off = 0
@@ -123,6 +130,17 @@ class ContigRunLog:
             self._w("chop reads to kmers done")
             self._w("add kmers to hash done")
             if loaded < b:
+                break
+            q = file_start + off
+            if enlarges and q in enlarges:
+                size = enlarges[q]
+                self._w(f"Enlarge hash array size to be: {size}")
+                self._w(f"The expanded memory used now:  "
+                        f"{_g(size / 1000000000 * 16)} G")
+            if alerts and q in alerts:
+                self._w("\nAlert message: Memory reach the maximum "
+                        f"allowed, program have loaded {alerts[q]} reads, "
+                        "the left others are ignored\n")
                 break
         for ln in read_lengths:
             if ln >= ksize:

@@ -56,6 +56,7 @@ def _configure(_lib: ctypes.CDLL) -> None:
     _lib.find_next_prime.restype = ctypes.c_uint64
     _lib.find_next_prime.argtypes = [ctypes.c_uint64]
     _lib.hash_layout.restype = ctypes.c_int64
+    _lib.hash_layout_epochs.restype = ctypes.c_int64
     _lib.stdsort_perm_desc.restype = None
     _lib.radix_argsort_u64.restype = None
     _lib.gcc44_sort_perm_desc.restype = None
@@ -307,6 +308,35 @@ def hash_layout(kmers_in_order: np.ndarray, size: int):
         occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out, int(conflicts)
+
+
+def hash_layout_epochs(kmers_in_order: np.ndarray, sizes: list[int],
+                       ends: list[int], want_snapshots: bool = True):
+    """Slot assignment with hash enlargement (kmerSet.cpp:132-189).
+
+    sizes: [size0, size_after_1st_enlarge, ...]; ends[e] = node count at
+    which enlargement e fires (between ingest buffers).  Returns
+    (slots int64 [n], insert_conflicts, snapshots int64 [E+1, n] or None)
+    where snapshots row e holds each node's slot during epoch e (-1 before
+    insertion)."""
+    km = np.ascontiguousarray(kmers_in_order, dtype=np.uint64)
+    n = len(km)
+    n_enl = len(sizes) - 1
+    sz = np.asarray(sizes, dtype=np.uint64)
+    en = np.asarray(list(ends) + [0], dtype=np.int64)   # never empty
+    out = np.empty(n, dtype=np.int64)
+    snaps = np.empty((n_enl + 1, n), dtype=np.int64) if want_snapshots \
+        else None
+    conflicts = lib().hash_layout_epochs(
+        km.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(n),
+        sz.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        en.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n_enl),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        snaps.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)) if snaps
+        is not None else None)
+    return out, int(conflicts), snaps
 
 
 def correct_batch(reads: np.ndarray, offsets: np.ndarray, lens: np.ndarray,

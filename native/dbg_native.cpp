@@ -79,6 +79,82 @@ int64_t hash_layout(const uint64_t* kmers, int64_t n, uint64_t size,
     return conflicts;
 }
 
+// Epoch-aware layout: the hash-enlargement emulation.  Inserts kmers in
+// first-occurrence order into a table of sizes[0]; after ends[e] total
+// nodes are in (checked between ingest buffers by the caller's schedule),
+// redistributes into sizes[e+1] via the reference's eviction walk
+// (enlarge_kmerset_parallel, DBG_contig/kmerSet.cpp:132-189): old slots
+// scanned ascending, each entry re-homed by jenkins % new_size with linear
+// probing; landing on a not-yet-moved old entry swaps and continues
+// placing the displaced entry.  No deletions exist during ingest, so the
+// old del_flag only tracks "moved in this walk".
+//
+// snapshots_out: int64 [n_enlarge+1, n]; row e = slot of node i during
+// epoch e, -1 before its insertion (callers weight per-epoch probe
+// displacements by per-epoch occurrence counts to reproduce
+// kset->count_conflict).  Final row equals slots_out.
+// Returns the insert-time displacement total.
+int64_t hash_layout_epochs(const uint64_t* kmers, int64_t n,
+                           const uint64_t* sizes, const int64_t* ends,
+                           int64_t n_enlarge,
+                           int64_t* slots_out, int64_t* snapshots_out) {
+    uint64_t size = sizes[0];
+    std::vector<int64_t> slot_node(size, -1);   // slot -> node (or -1)
+    int64_t conflicts = 0;
+    int64_t inserted = 0;
+    for (int64_t e = 0; e <= n_enlarge; e++) {
+        int64_t upto = (e < n_enlarge) ? ends[e] : n;
+        for (; inserted < upto; inserted++) {
+            uint64_t hc = jenkins64(kmers[inserted]) % size;
+            while (slot_node[hc] >= 0) {
+                conflicts++;
+                hc = (hc + 1 == size) ? 0 : hc + 1;
+            }
+            slot_node[hc] = inserted;
+            slots_out[inserted] = (int64_t)hc;
+        }
+        if (snapshots_out) {
+            int64_t* row = snapshots_out + e * n;
+            for (int64_t i = 0; i < n; i++)
+                row[i] = (i < inserted) ? slots_out[i] : -1;
+        }
+        if (e == n_enlarge) break;
+        // ---- redistribution into sizes[e+1] (kmerSet.cpp:146-186)
+        uint64_t old_size = size;
+        uint64_t new_size = sizes[e + 1];
+        std::vector<int64_t> old_node;
+        old_node.swap(slot_node);               // old occupancy (nul_flag)
+        std::vector<uint8_t> old_moved(old_size, 0);  // del_flag
+        std::vector<uint8_t> new_nul(new_size, 0);
+        slot_node.assign(new_size, -1);
+        for (uint64_t i = 0; i < old_size; i++) {
+            if (old_node[i] < 0 || old_moved[i]) continue;
+            int64_t carry = old_node[i];
+            old_node[i] = -1;
+            old_moved[i] = 1;
+            while (1) {
+                uint64_t hc = jenkins64(kmers[carry]) % new_size;
+                while (new_nul[hc]) hc = (hc + 1 == new_size) ? 0 : hc + 1;
+                new_nul[hc] = 1;
+                if (hc < old_size && old_node[hc] >= 0 && !old_moved[hc]) {
+                    int64_t displaced = old_node[hc];
+                    old_node[hc] = -1;
+                    old_moved[hc] = 1;
+                    slot_node[hc] = carry;
+                    slots_out[carry] = (int64_t)hc;
+                    carry = displaced;
+                } else {
+                    slot_node[hc] = carry;
+                    slots_out[carry] = (int64_t)hc;
+                    break;
+                }
+            }
+        }
+        size = new_size;
+    }
+    return conflicts;
+}
+
 // Permutation of indices under libstdc++ std::sort with comparator
 // cmp(a,b) = lens[b] < lens[a]  (i.e. descending by length, unstable).
 struct LenIdx {
