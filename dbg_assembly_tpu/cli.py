@@ -173,13 +173,16 @@ def _map_pair(argv):
     ap.add_argument("-i", type=float, default=0.97)
     ap.add_argument("-f", type=int, default=1)
     ap.add_argument("-o", default="./")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="shard read batches over an N-device jax Mesh "
+                    "(output-identical to the single-device kernel)")
     ap.add_argument("contig_fa")
     ap.add_argument("lib")
     a = ap.parse_args(argv)
     from .scaffold import map_pair
     map_pair.run(a.contig_fa, a.lib, a.o, ksize=a.k, seed_kmer_num=a.s,
                  min_ctg_len=a.l, min_read_len=a.r, min_identity=a.i,
-                 fmt=a.f)
+                 fmt=a.f, mesh_devices=a.mesh)
 
 
 def _link_scaffold(argv):

@@ -81,7 +81,10 @@ def _fmt_line(rid, rlen, r: ixmod.MapResult, i, ids, clens) -> bytes:
 def run(contig_fa: str, lib_path: str, out_dir: str, ksize: int = 31,
         seed_kmer_num: int = 5, min_ctg_len: int = 125,
         min_read_len: int = 250, min_identity: float = 0.97,
-        fmt: int = 1) -> None:
+        fmt: int = 1, mesh_devices: int = 0) -> None:
+    """mesh_devices > 0: shard the read batches over an N-device jax Mesh
+    (scaffold/sharded.map_reads_sharded — SURVEY P1 for the mapping
+    stage; output-identical to the single-device kernel)."""
     from ..contig.pipeline import read_file_list
 
     files = read_file_list(lib_path)
@@ -93,18 +96,24 @@ def run(contig_fa: str, lib_path: str, out_dir: str, ksize: int = 31,
 
     ids, seqs = read_contig_fasta(contig_fa)
     seqs = [s if len(s) >= min_ctg_len else b"" for s in seqs]
-    ix = ixmod.build(seqs, ksize)
+    mesh = None
+    if mesh_devices:
+        from ..parallel import mesh as meshmod
+        mesh = meshmod.data_mesh(mesh_devices)
+        ix = ixmod._build_py(seqs, ksize)   # array-backed (replicated)
+    else:
+        ix = ixmod.build(seqs, ksize)
     clens = np.array([len(s) for s in seqs], dtype=np.int64)
 
     for fi in range(0, len(files), 2):
         _map_pair_files(files[fi], files[fi + 1], ix, ids, clens, out_dir,
                         ksize, seed_kmer_num, min_read_len, min_identity,
-                        fmt)
+                        fmt, mesh)
 
 
 def _map_pair_files(f1: str, f2: str, ix, ids, clens, out_dir: str,
                     ksize: int, seed_kmer_num: int, min_read_len: int,
-                    min_identity: float, fmt: int) -> None:
+                    min_identity: float, fmt: int, mesh=None) -> None:
     lead = b"@" if fmt == 1 else b">"
     # the pair's gz decodes run concurrently (zlib releases the GIL)
     from concurrent.futures import ThreadPoolExecutor
@@ -123,10 +132,19 @@ def _map_pair_files(f1: str, f2: str, ix, ids, clens, out_dir: str,
     len2 = b2.lengths.astype(np.int64)
     keep = (len1[:n] >= min_read_len) & (len2[:n] >= min_read_len)
 
-    r1 = ixmod.map_reads(ix, b1.codes[:n], b1.seqs_ascii[:n], b1.lengths[:n],
-                         seed_kmer_num, min_identity)
-    r2 = ixmod.map_reads(ix, b2.codes[:n], b2.seqs_ascii[:n], b2.lengths[:n],
-                         seed_kmer_num, min_identity)
+    if mesh is not None:
+        from . import sharded as msh
+        r1 = msh.map_reads_sharded(mesh, ix, b1.codes[:n],
+                                   b1.seqs_ascii[:n], b1.lengths[:n],
+                                   seed_kmer_num, min_identity)
+        r2 = msh.map_reads_sharded(mesh, ix, b2.codes[:n],
+                                   b2.seqs_ascii[:n], b2.lengths[:n],
+                                   seed_kmer_num, min_identity)
+    else:
+        r1 = ixmod.map_reads(ix, b1.codes[:n], b1.seqs_ascii[:n],
+                             b1.lengths[:n], seed_kmer_num, min_identity)
+        r2 = ixmod.map_reads(ix, b2.codes[:n], b2.seqs_ascii[:n],
+                             b2.lengths[:n], seed_kmer_num, min_identity)
 
     base = os.path.basename(f1)
     out_diff = gzip.open(f"{out_dir}/{base}.map_pair.2ctg.gz", "wb",
