@@ -44,7 +44,7 @@ READ_LEN = 150
 N_READS_REF = 150_000         # subset for the single-core baseline run
 BATCH = 250_000               # device batch: 37.5M k-mer slots
 
-KSIZE_CORRECT = 13            # correction-stage table fits the dev tunnel
+KSIZE_CORRECT = 17            # production correction size (2-GiB table, device-built)
 N_READS_CORRECT = 8192
 
 
@@ -68,11 +68,15 @@ def ensure_data():
     return DATA_DIR
 
 
-def measure_baseline() -> float:
-    """Single-core reference ingest rate (k-mers/s)."""
+def measure_baseline() -> dict:
+    """Single-core reference rates: ingest (k-mers/s) and contig stage
+    (nodes/s over link-calc + pruning + readout, i.e. everything after
+    ingest in build_contig_sequence — the work stages.contig races)."""
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            return json.load(f)["ref_single_core_kmers_per_s"]
+            d = json.load(f)
+        if "ref_contig_nodes_per_s" in d:
+            return d
     ensure_data()
     lib = os.path.join(DATA_DIR, "ref.lib")
     fq = os.path.join(DATA_DIR, "bench_1.fq.gz")
@@ -100,14 +104,21 @@ def measure_baseline() -> float:
     text = open(log).read()
     kmers = int(re.search(r"Total number of kmers loaded into memory: (\d+)",
                           text).group(1))
-    # Run time lines: [0] after hash init, [1] after ingest of file 1
+    nodes = int(re.search(r"count:\t(\d+)", text).group(1))
+    # Run time lines: [0] after hash init, [1] after ingest of file 1,
+    # [2..] after link calc / tips / (Finshed typo: lowedges) / bubbles /
+    # readout — the LAST stamp closes build_contig_sequence
     times = [float(x) for x in re.findall(r"Run time: ([0-9.]+)", text)]
     ingest_s = times[1] - times[0]
+    contig_s = times[-1] - times[1]
     rate = kmers / ingest_s
+    d = {"ref_single_core_kmers_per_s": rate,
+         "kmers": kmers, "ingest_s": ingest_s,
+         "ref_contig_nodes_per_s": nodes / contig_s,
+         "contig_nodes": nodes, "contig_s": contig_s}
     with open(BASELINE_FILE, "w") as f:
-        json.dump({"ref_single_core_kmers_per_s": rate,
-                   "kmers": kmers, "ingest_s": ingest_s}, f, indent=1)
-    return rate
+        json.dump(d, f, indent=1)
+    return d
 
 
 def _time_loop(body, args, iters_hi=12, iters_lo=2, repeats=3):
@@ -186,31 +197,128 @@ def measure_counting():
     }
 
 
-def measure_correction():
-    """Device-resident 5-phase correction step (reads -> corrected),
-    k=13 table (the k=17 2-GiB table exceeds the dev tunnel's practical
-    upload budget; the kernel is k-independent modulo table size)."""
+def measure_contig():
+    """Device-resident contig stage (VERDICT r04 next 3): link/topology
+    pass + directed successor build (one table search per state) +
+    pointer-doubling chain resolution over the node table — the same
+    programs the mesh contig stage runs, composed on one chip
+    (contig.pointer_doubling.contig_stage_step).  Table built on device
+    (untimed): the ingest aggregation compacted by one payload-carrying
+    sort."""
     import jax
     import jax.numpy as jnp
-    from tools.bench_stages import make_pe250, build_bitmap
+    from dbg_assembly_tpu.contig import graph as cg
+    from dbg_assembly_tpu.contig import pointer_doubling as pd
+
+    ensure_data()
+    codes = np.load(os.path.join(DATA_DIR, "codes.npy"))[:BATCH]
+    lengths = np.full(len(codes), READ_LEN, np.int32)
+    S = 1 << 22                     # 4.19M node rows (genome 3M distinct)
+
+    @jax.jit
+    def build_table(c, l_):
+        uniq, lcnt, rcnt, fidx, cnts, n_uniq, n_valid = cg._aggregate_batch(
+            c, l_, KSIZE, jnp.int64(0))
+        lc = jnp.clip(lcnt, 0, 255).astype(jnp.uint64)
+        rc = jnp.clip(rcnt, 0, 255).astype(jnp.uint64)
+        sh = jnp.uint64(8) * jnp.arange(4, dtype=jnp.uint64)[None, :]
+        pay = (jnp.sum(lc << sh, axis=1)
+               | (jnp.sum(rc << sh, axis=1) << jnp.uint64(32)))
+        km, pv = jax.lax.sort((uniq, pay), num_keys=1)
+        km, pv = km[:S], pv[:S]
+        lcn = ((pv[:, None] >> sh) & jnp.uint64(255)).astype(jnp.int32)
+        rcn = ((pv[:, None] >> (sh + jnp.uint64(32)))
+               & jnp.uint64(255)).astype(jnp.int32)
+        return km, lcn, rcn, n_uniq
+
+    km, lcn, rcn, n_uniq = jax.block_until_ready(
+        build_table(jnp.asarray(codes), jnp.asarray(lengths)))
+    nodes = int(n_uniq)
+    assert nodes <= S, nodes
+
+    def body(km, lcn, rcn):
+        l_num, r_num, linear, e, dist, cyc = pd.contig_stage_step(
+            km, lcn, rcn, k=KSIZE, cut=2)
+        return (jnp.sum(l_num + r_num).astype(jnp.int64)
+                + jnp.sum(linear).astype(jnp.int64) + e[0] + dist[0]
+                + jnp.sum(cyc).astype(jnp.int64))
+
+    # _time_loop's jnp.roll would unsort the k-mer key array (the kernel's
+    # table search requires ascending keys); roll only the counter planes
+    # so the body stays iteration-dependent without breaking sortedness
+    @jax.jit
+    def loop(km, lcn, rcn, n):
+        def step(i, acc):
+            return acc + body(km, jnp.roll(lcn, i, axis=0),
+                              jnp.roll(rcn, i, axis=0))
+        return jax.lax.fori_loop(0, n, step, jnp.int64(0))
+
+    import time as _time
+    float(np.asarray(loop(km, lcn, rcn, 1)))
+    secs = []
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        float(np.asarray(loop(km, lcn, rcn, 8)))
+        hi = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        float(np.asarray(loop(km, lcn, rcn, 2)))
+        lo = _time.perf_counter() - t0
+        secs.append(max((hi - lo) / 6, 1e-9))
+    per_iter = min(secs)
+    return {"contig_nodes_per_s": nodes / per_iter, "contig_nodes": nodes}
+
+
+def measure_correction():
+    """Device-resident 5-phase correction step (reads -> corrected) at the
+    PRODUCTION k=17 (VERDICT r04 next 1).  The 2-GiB 1-bit table is built
+    ON DEVICE (count_unique_fast + bit scatter-add — the dev tunnel moves
+    ~3.4 MB/s, and production tables are device-built anyway).  The timed
+    body is the full closed step: stage A + gap waves + phase 5, with
+    active-row compaction (correct/device._bbt_compact).  Host-fallback
+    rate is reported alongside — flagged reads re-run on the host engine,
+    preserving byte parity."""
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from tools.bench_stages import make_pe250
+    from dbg_assembly_tpu import dna
     from dbg_assembly_tpu.correct import device as dev
     from dbg_assembly_tpu.correct.engine import CorrectParams
+    from dbg_assembly_tpu.kmer import count as kc
 
     n = N_READS_CORRECT
+    k = KSIZE_CORRECT
     ascii_np, codes, lengths, _ = make_pe250(n)
-    bitmap = build_bitmap(codes, lengths, KSIZE_CORRECT)
-    p = CorrectParams(ksize=KSIZE_CORRECT, max_change=2).resolved()
-    k, m, mc = p.ksize, p.high_freq_reg_len, p.max_change
-    bmd = jax.block_until_ready(dev.bitmap_device(bitmap))
-    ab = jnp.asarray(ascii_np)
+    p = CorrectParams(ksize=k, max_change=2).resolved()
+    m, mc = p.high_freq_reg_len, p.max_change
+
+    @jax.jit
+    def build(c, l_):
+        uniq_m, counts_m, n_unique, _ = kc.count_unique_fast(c, l_, k)
+        hi = jnp.where(counts_m > 1, uniq_m, kc.SENTINEL)
+        rc = dna.revcomp_kbit(hi, k)
+        bits = jnp.concatenate([hi, rc])
+        ok = bits != kc.SENTINEL
+        word = jnp.where(ok, (bits >> jnp.uint64(5)).astype(jnp.int32),
+                         1 << 30)
+        shift = (jnp.uint64(8) * ((bits >> jnp.uint64(3)) & jnp.uint64(3))
+                 + (jnp.uint64(7) - (bits & jnp.uint64(7))))
+        val = jnp.uint32(1) << shift.astype(jnp.uint32)
+        table = jnp.zeros((1 << (2 * k - 5),), jnp.uint32)
+        return table.at[word].add(jnp.where(ok, val, 0), mode="drop")
+
     cb = jnp.asarray(codes)
     lb = jnp.asarray(lengths)
+    bmd = jax.block_until_ready(build(cb, lb))
+    ab = jnp.asarray(ascii_np)
     _, _, _, _, num_h, _ = dev._stage_a(ab, cb, lb, bmd, k=k, m=m,
                                         max_change=mc)
     waves = max(int(jnp.max(num_h)) - 1, 0)
+    wave_c = max(n // 4, 256)
+    p5_c = max(n // 2, 256)
 
-    def body(a, c, l_):
-        a2, one, hs1, he1, num_h, fb = dev._stage_a(a, c, l_, bmd, k=k,
+    def body(bm, a, c, l_):
+        a2, one, hs1, he1, num_h, fb = dev._stage_a(a, c, l_, bm, k=k,
                                                     m=m, max_change=mc)
         accum = one
         multi = jnp.zeros_like(one)
@@ -219,25 +327,56 @@ def measure_correction():
         def wave(i, st):
             a2, accum, multi, fail, fb = st
             return dev._wave_step(
-                a2, l_, bmd, hs1, he1, num_h, accum, multi, fail, fb,
-                i.astype(jnp.int32), jnp.int32(mc), k=k)
+                a2, l_, bm, hs1, he1, num_h, accum, multi, fail, fb,
+                i.astype(jnp.int32), jnp.int32(mc), k=k, compact_c=wave_c)
 
         a2, accum, multi, fail, fb = jax.lax.fori_loop(
             0, waves, wave, (a2, accum, multi, fail, fb))
         a2, multi, deleted, tl, tr, fb = dev._phase5(
-            a2, l_, bmd, hs1, he1, num_h, accum, multi, fail, fb,
-            k=k, mc=mc, ft=p.further_trim, min_len=p.min_read_len)
-        return (jnp.sum(one + multi + deleted + tl + tr).astype(jnp.int64)
-                + jnp.sum(fb).astype(jnp.int64)
-                + a2[0, 0].astype(jnp.int64))
+            a2, l_, bm, hs1, he1, num_h, accum, multi, fail, fb,
+            k=k, mc=mc, ft=p.further_trim, min_len=p.min_read_len,
+            compact_c=p5_c)
+        return (jnp.sum(one + multi + deleted + tl + tr).astype(jnp.int64),
+                jnp.sum(fb).astype(jnp.int64), a2)
 
-    per_iter, _ = _time_loop(body, (ab, cb, lb), iters_hi=8, repeats=2)
-    return {"correct_reads_per_s": n / per_iter, "waves": waves}
+    # fallback rate (one un-timed run of the same body)
+    _, fb_count, _ = jax.jit(body)(bmd, ab, cb, lb)
+    fallback_rate = float(fb_count) / n
+
+    # timing: the 2-GiB table must be a loop ARGUMENT (a closed-over
+    # constant bloats lowering) and must not be rolled; read arrays roll
+    @jax.jit
+    def loop(bm, a, c, l_, it):
+        def step(i, acc):
+            chk, fbs, _ = body(bm, jnp.roll(a, i, axis=0),
+                               jnp.roll(c, i, axis=0), l_)
+            return acc + chk + fbs
+        return jax.lax.fori_loop(0, it, step, jnp.int64(0))
+
+    float(np.asarray(loop(bmd, ab, cb, lb, 1)))
+    secs = []
+    for _ in range(2):
+        t0 = _time.perf_counter()
+        float(np.asarray(loop(bmd, ab, cb, lb, 8)))
+        hi = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        float(np.asarray(loop(bmd, ab, cb, lb, 2)))
+        lo = _time.perf_counter() - t0
+        secs.append(max((hi - lo) / 6, 1e-9))
+    per_iter = min(secs)
+    return {"correct_reads_per_s": n / per_iter, "waves": waves,
+            "fallback_rate": round(fallback_rate, 5)}
 
 
 def main():
-    baseline = measure_baseline()
+    base = measure_baseline()
+    baseline = base["ref_single_core_kmers_per_s"]
     counting = measure_counting()
+    try:
+        ctg = measure_contig()
+    except Exception as e:
+        ctg = {"contig_nodes_per_s": 0.0,
+               "error": f"{type(e).__name__}: {e}"[:200]}
     try:
         corr = measure_correction()
     except Exception as e:                      # stage metric must never
@@ -251,10 +390,15 @@ def main():
         "ingest_kmers_per_s": round(counting["ingest_kmers_per_s"], 1),
         "ingest_vs_baseline": round(
             counting["ingest_kmers_per_s"] / baseline, 3),
+        "contig_nodes_per_s": round(ctg["contig_nodes_per_s"], 1),
+        "contig_vs_baseline": round(
+            ctg["contig_nodes_per_s"] / base["ref_contig_nodes_per_s"], 3),
         "correct_reads_per_s": round(corr["correct_reads_per_s"], 1),
         "headline_spread_ms_per_iter": counting["prod_spread_ms"],
     }
-    for key in ("waves", "error"):
+    if "error" in ctg:
+        stages["contig_error"] = ctg["error"]
+    for key in ("waves", "fallback_rate", "error"):
         if key in corr:
             stages["correct_" + key] = corr[key]
     print(json.dumps({

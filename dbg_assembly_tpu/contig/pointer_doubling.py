@@ -37,10 +37,13 @@ tools/validate_doubling_scale.py).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import dna
 from .. import native
 from ..io import stat as statio
 from .graph import NodeTable
@@ -710,6 +713,50 @@ def remove_bubbles(g: _Graph, out_path: str):
 # =========================================================================
 # pointer-doubling readout
 # =========================================================================
+
+@functools.partial(jax.jit, static_argnames=("k", "cut"))
+def contig_stage_step(kmers: jnp.ndarray, lcnt: jnp.ndarray,
+                      rcnt: jnp.ndarray, *, k: int, cut: int):
+    """Device-resident contig stage over a sorted node table: the link/
+    topology pass (calculate_kmer_links, contig.cpp:107-205), the directed
+    successor function over 2M states (read_out_contigs' chain walk,
+    one table search per state), and pointer-doubling chain resolution —
+    the same programs MeshGraph runs sharded, composed on one chip for
+    bench.py's stages.contig measurement.
+
+    kmers: [M] uint64 ascending, SENTINEL rows inert (their counters must
+    be 0).  State layout: i = node i walking canonical-rightward,
+    M+i = leftward.  Returns (l_num, r_num, linear, e, dist, cyclic)."""
+    M = kmers.shape[0]
+    lq, rq = lcnt > cut, rcnt > cut
+    l_num = jnp.minimum(jnp.sum(lq, axis=1), 3).astype(jnp.int32)
+    r_num = jnp.minimum(jnp.sum(rq, axis=1), 3).astype(jnp.int32)
+    l_base = jnp.argmax(jnp.where(lq, lcnt, 0), axis=1).astype(jnp.int32)
+    r_base = jnp.argmax(jnp.where(rq, rcnt, 0), axis=1).astype(jnp.int32)
+    linear = (l_num == 1) & (r_num == 1)
+
+    mask = jnp.uint64((1 << (2 * k)) - 1)
+    km2 = jnp.concatenate([kmers, kmers])
+    base = jnp.concatenate([r_base, l_base]).astype(jnp.uint64)
+    right = jnp.arange(2 * M, dtype=jnp.int64) < M
+    nk = jnp.where(right,
+                   ((km2 << jnp.uint64(2)) | base) & mask,
+                   (km2 >> jnp.uint64(2))
+                   | (base << jnp.uint64(2 * (k - 1))))
+    rc = dna.revcomp_kbit(nk, k)
+    flip = nk >= rc
+    nf = jnp.where(flip, rc, nk)
+    ndir_left = flip ^ ~right          # walking leftward after the step
+    idx = jnp.searchsorted(kmers, nf)
+    idxc = jnp.minimum(idx, M - 1)
+    found = kmers[idxc] == nf
+    lin2 = jnp.concatenate([linear, linear])
+    ok = lin2 & found & linear[idxc]
+    STOP = jnp.int64(2 * M)
+    succ = jnp.where(ok, idxc + jnp.where(ndir_left, M, 0), STOP)
+    e, dist, cyclic = _resolve_chains(succ)
+    return l_num, r_num, linear, e, dist, cyclic
+
 
 @jax.jit
 def _resolve_chains(succ: jnp.ndarray):

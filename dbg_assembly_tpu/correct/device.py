@@ -225,6 +225,9 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
     Returns (new_ascii, num_corrected, len_need_trim, last_change, overflow).
     """
     N, L = ascii_seq.shape
+    if L > 1022:
+        raise ValueError(f"read length {L} exceeds the 10-bit change-slot "
+                         "position packing (max 1022)")
     W = BEAM_W
     mask = jnp.uint64((1 << (2 * k)) - 1)
     code_tab = jnp.asarray(_CODE_NP)
@@ -252,8 +255,10 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
     change0 = jnp.broadcast_to(
         jnp.where(lane == 0, 0, BIG).astype(jnp.int32), (N, W))
     alive0 = (lane == 0) & active[:, None]
-    cpos0 = jnp.zeros((N, W, 2), jnp.int32)
-    cbase0 = jnp.zeros((N, W, 2), jnp.uint8)
+    # the <=2 explicit changes of a path ride in ONE packed int32 per lane
+    # (pos 10 bits + base 2 bits per slot) — the earlier [N, W, 2] arrays
+    # put a size-2 minor dim on the TPU lane axis, padding 64x
+    chg0 = jnp.zeros((N, W), jnp.int32)
     cp0 = cs
     span_empty = (cs > ce) if rightward else (cs < ce)
     done0 = ~active | span_empty
@@ -265,11 +270,11 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
         # under shard_map the trip decision must be GLOBALLY uniform (the
         # collective probe inside the body would deadlock if shards exited
         # at different trips): global_any ORs across the mesh
-        more = jnp.any(~st[6])
+        more = jnp.any(~st[5])
         return more if global_any is None else global_any(more)
 
     def body(st):
-        kmer, change, alive, cpos, cbase, cp, done, ovf = st
+        kmer, change, alive, chg, cp, done, ovf = st
         running = ~done
         col = jnp.clip((cp - 1).astype(jnp.int64), 0, L - 1)
         rchar = jnp.take_along_axis(ascii_seq, col[:, None], axis=1)[:, 0]
@@ -281,16 +286,26 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
                 (jj << jnp.uint64(2 * (k - 1)))
         same = bases_ascii[None, None, :] == rchar[:, None, None]
         cchange = change[:, :, None] + (~same).astype(jnp.int32)
-        calive = (alive[:, :, None] & (cchange <= ma) & probe(ck)
-                  & running[:, None, None])
+        # probe only candidates that could survive: typically <=2-3 of the
+        # W lanes are alive and half the rows are done — pointing every
+        # other candidate's gather at word 0 keeps those accesses in cache
+        # instead of random 2-GiB HBM lines (the probe gather is the
+        # dominant per-trip cost)
+        maybe = (alive[:, :, None] & (cchange <= ma)
+                 & running[:, None, None])
+        ck_q = jnp.where(maybe, ck, jnp.uint64(0))
+        calive = maybe & probe(ck_q)
         any_child = jnp.any(calive, axis=(1, 2))
         n_alive = jnp.sum(calive, axis=(1, 2))
         ovf = ovf | (running & (n_alive > W))
         progress = running & any_child
 
-        # compact alive children into W lanes
+        # compact alive children into W lanes: top_k of the alive flags is
+        # the first-W stable selection (ties keep the lower index — same
+        # order as the stable argsort it replaces, at a fraction of the
+        # 64-lane sort's cost)
         fa = calive.reshape(N, 4 * W)
-        sel = jnp.argsort(~fa, axis=1, stable=True)[:, :W]     # flat idx
+        sel = jax.lax.top_k(fa.astype(jnp.int32), W)[1]        # flat idx
         pw = sel // 4
         pj = (sel % 4).astype(jnp.int32)
         new_alive = jnp.take_along_axis(fa, sel, axis=1)
@@ -299,42 +314,36 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
                                          axis=1)
         new_change = jnp.where(new_alive, new_change, BIG)
         p_change = jnp.take_along_axis(change, pw, axis=1)
-        p_cpos = jnp.take_along_axis(cpos, pw[:, :, None], axis=1)
-        p_cbase = jnp.take_along_axis(cbase, pw[:, :, None], axis=1)
+        p_chg = jnp.take_along_axis(chg, pw, axis=1)
         same_b = jnp.broadcast_to(same, (N, W, 4))
         was_same = jnp.take_along_axis(same_b.reshape(N, 4 * W), sel, axis=1)
         slot = jnp.clip(p_change, 0, 1)                        # 0 or 1
         wr = (~was_same)
-        upd_pos = jnp.where(wr & (slot == 0), cp[:, None], p_cpos[:, :, 0])
-        upd_pos1 = jnp.where(wr & (slot == 1), cp[:, None], p_cpos[:, :, 1])
-        upd_base = jnp.where(wr & (slot == 0), pj.astype(jnp.uint8),
-                             p_cbase[:, :, 0])
-        upd_base1 = jnp.where(wr & (slot == 1), pj.astype(jnp.uint8),
-                              p_cbase[:, :, 1])
-        new_cpos = jnp.stack([upd_pos, upd_pos1], axis=2)
-        new_cbase = jnp.stack([upd_base, upd_base1], axis=2)
+        rec = cp[:, None] | (pj << 10)                         # pos|base
+        lo = jnp.where(wr & (slot == 0), rec, p_chg & 0xFFF)
+        hi = jnp.where(wr & (slot == 1), rec, (p_chg >> 12) & 0xFFF)
+        new_chg = lo | (hi << 12)
 
         pm = progress[:, None]
         kmer = jnp.where(pm, new_kmer, kmer)
         change = jnp.where(pm, new_change, change)
         alive = jnp.where(pm, new_alive, alive)
-        cpos = jnp.where(pm[:, :, None], new_cpos, cpos)
-        cbase = jnp.where(pm[:, :, None], new_cbase, cbase)
+        chg = jnp.where(pm, new_chg, chg)
 
         step = 1 if rightward else -1
         cp_next = jnp.where(progress, cp + step, cp)
         out_of_span = (cp_next > ce) if rightward else (cp_next < ce)
         done = done | (running & ~any_child) | (progress & out_of_span)
-        return (kmer, change, alive, cpos, cbase, cp_next, done, ovf)
+        return (kmer, change, alive, chg, cp_next, done, ovf)
 
-    carry0 = (kmer0, change0, alive0, cpos0, cbase0, cp0, done0, ovf0)
+    carry0 = (kmer0, change0, alive0, chg0, cp0, done0, ovf0)
     if global_any is not None:
         # under shard_map some initial carries are REPLICATED constants
         # while the body makes them device-varying; normalize the varying
         # manual axes up front (vary is supplied with the mesh axis)
         carry0 = vary(carry0)
     st = jax.lax.while_loop(cond, body, carry0)
-    kmer, change, alive, cpos, cbase, cp, done, ovf = st
+    kmer, change, alive, chg, cp, done, ovf = st
 
     ch = jnp.where(alive, change, BIG)
     min_change = jnp.min(ch, axis=1)
@@ -348,8 +357,10 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
     num = jnp.where(applied, min_change, 0).astype(jnp.int32)
 
     rows = jnp.arange(N)
-    sp = cpos[rows, sel_lane]                                  # [N, 2]
-    sb = cbase[rows, sel_lane]
+    sel_chg = chg[rows, sel_lane]
+    sp = jnp.stack([sel_chg & 1023, (sel_chg >> 12) & 1023], axis=1)
+    sb = jnp.stack([(sel_chg >> 10) & 3, (sel_chg >> 22) & 3],
+                   axis=1).astype(jnp.uint8)
     used = jnp.arange(2)[None, :] < num[:, None]
     wrow = jnp.where(applied[:, None] & used, rows[:, None], N)
     wcol = jnp.clip((sp - 1).astype(jnp.int64), 0, L - 1)
@@ -368,6 +379,47 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
         upd = wrote & (last_change_init == 0)
     last_change = jnp.where(upd, extreme, last_change_init).astype(jnp.int32)
     return new_ascii, num, lnt, last_change, ovf
+
+
+def _bbt_compact(ascii_seq, lengths, probe, active, check_start, check_end,
+                 max_allowed, last_change_init, *, k: int, rightward: bool,
+                 is_modify_trimmed: bool, compact_c: int):
+    """Active-row compaction around _bbt_impl: gather the (typically few)
+    active reads into a fixed compact_c-row batch, run the beam loop
+    there, scatter results back.  At k=17 on PE250 only ~16% of reads
+    enter gap wave 0 and ~0.6% wave 1 — the while loop's per-trip cost
+    drops by N/compact_c for everyone.  Rows beyond compact_c (can only
+    happen on pathological inputs) are flagged for HOST FALLBACK, which
+    preserves byte-exactness by re-running them from the original read.
+    Single-device path only (the sharded corrector keeps full-width calls
+    — its trip decision is a mesh collective)."""
+    N, L = ascii_seq.shape
+    C = min(compact_c, N)
+    rows_sel = jax.lax.top_k(active.astype(jnp.int32), C)[1]   # first C
+    act_c = jnp.take(active, rows_sel)
+    n_act = jnp.sum(active.astype(jnp.int32))
+    dropped = active & (jnp.cumsum(active.astype(jnp.int32)) >
+                        jnp.int32(C))
+
+    asc_c = jnp.take(ascii_seq, rows_sel, axis=0)
+    out = _bbt_impl(
+        asc_c, jnp.take(lengths, rows_sel), probe, act_c,
+        jnp.take(check_start, rows_sel), jnp.take(check_end, rows_sel),
+        jnp.take(max_allowed, rows_sel),
+        jnp.take(last_change_init, rows_sel),
+        k=k, rightward=rightward, is_modify_trimmed=is_modify_trimmed)
+    asc_o, num_c, lnt_c, lch_c, ovf_c = out
+
+    wrow = jnp.where(act_c, rows_sel, N)
+    new_ascii = ascii_seq.at[wrow].set(asc_o, mode="drop")
+    num = jnp.zeros((N,), jnp.int32).at[wrow].set(num_c, mode="drop")
+    lnt = jnp.zeros((N,), jnp.int32).at[wrow].set(lnt_c, mode="drop")
+    lch = last_change_init.astype(jnp.int32).at[wrow].set(lch_c,
+                                                          mode="drop")
+    ovf = jnp.zeros((N,), bool).at[wrow].set(ovf_c, mode="drop")
+    ovf = ovf | dropped
+    del n_act
+    return new_ascii, num, lnt, lch, ovf
 
 
 # ===========================================================================
@@ -424,19 +476,28 @@ def correct_batch_device(ascii_np, codes_np, lengths_np, bitmap_dev, params):
     multi = jnp.zeros((N,), jnp.int32)
     fail = jnp.zeros((N, H_MAX), bool)
 
+    # active-row compaction widths: at k=17 on PE250 ~16% of reads enter
+    # gap wave 0 (then ~0.6%), ~2% the phase-5 head walk and ~33% the
+    # tail walk; overflow beyond the compact width falls back to the host
+    # engine, preserving byte-exactness
+    wave_c = max(N // 4, 256)
+    p5_c = max(N // 2, 256)
+
     # ---- phase 4 waves: gap i between high regions i and i+1
     # (one host sync to learn the wave count; the wave itself is one jit)
     n_waves = max(int(jnp.max(num_h)) - 1, 0)
     for i in range(n_waves):
         (ascii_seq, accum, multi, fail, fallback) = _wave_step(
             ascii_seq, lengths, bitmap_dev, hs1, he1, num_h, accum, multi,
-            fail, fallback, jnp.int32(i), jnp.int32(mc), k=k)
+            fail, fallback, jnp.int32(i), jnp.int32(mc), k=k,
+            compact_c=wave_c)
 
     # ---- phase 5 (one jit)
     (ascii_seq, multi, deleted, trim_left, trim_right,
      fallback) = _phase5(ascii_seq, lengths, bitmap_dev, hs1, he1, num_h,
                          accum, multi, fail, fallback, k=k, mc=mc,
-                         ft=p.further_trim, min_len=p.min_read_len)
+                         ft=p.further_trim, min_len=p.min_read_len,
+                         compact_c=p5_c)
 
     return (np.asarray(one), np.asarray(multi), np.asarray(deleted),
             np.asarray(trim_left), np.asarray(trim_right),
@@ -444,22 +505,36 @@ def correct_batch_device(ascii_np, codes_np, lengths_np, bitmap_dev, params):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "mc", "ft", "min_len"))
+                   static_argnames=("k", "mc", "ft", "min_len",
+                                    "compact_c"))
 def _phase5(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
-            fail, fallback, *, k: int, mc: int, ft: int, min_len: int):
+            fail, fallback, *, k: int, mc: int, ft: int, min_len: int,
+            compact_c: int | None = None):
     """Phase 5 against an HBM-resident full table."""
     return _phase5_impl(ascii_seq, lengths,
                         lambda idx: _probe(bitmap, idx), hs1, he1, num_h,
                         accum, multi, fail, fallback, k=k, mc=mc, ft=ft,
-                        min_len=min_len)
+                        min_len=min_len, compact_c=compact_c)
 
 
 def _phase5_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
                  fail, fallback, *, k: int, mc: int, ft: int, min_len: int,
-                 global_any=None, vary=None):
+                 global_any=None, vary=None, compact_c=None):
     """Phase 5 (correct.cpp:273-334) as one jitted program: head/tail BBT
-    from the max combined high region + Further_trim_len end safety."""
+    from the max combined high region + Further_trim_len end safety.
+    compact_c: active-row compaction width for the head/tail beam calls
+    (single-device only)."""
     N = ascii_seq.shape[0]
+
+    def bbt(a, act, cs, ce, ma, lci, rightward):
+        if compact_c is not None and global_any is None:
+            return _bbt_compact(a, lengths, probe, act, cs, ce, ma, lci,
+                                k=k, rightward=rightward,
+                                is_modify_trimmed=True,
+                                compact_c=compact_c)
+        return _bbt_impl(a, lengths, probe, act, cs, ce, ma, lci,
+                         k=k, rightward=rightward, is_modify_trimmed=True,
+                         global_any=global_any, vary=vary)
     Lr = lengths
     max_s1, max_e1 = _max_combined(hs1, he1, num_h, fail)
     ok = ~fallback & (num_h > 0)
@@ -467,12 +542,10 @@ def _phase5_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
     # head (correct.cpp:273-290)
     act_h = ok & (max_s1 > 1)
     can_h = act_h & (accum < mc)
-    ascii_seq, numh, tl_bbt, left_last, ovf = _bbt_impl(
-        ascii_seq, lengths, probe, can_h,
-        jnp.maximum(max_s1 - 1, 1), jnp.ones_like(max_s1),
-        mc - accum, jnp.zeros((N,), jnp.int32),
-        k=k, rightward=False, is_modify_trimmed=True,
-        global_any=global_any, vary=vary)
+    ascii_seq, numh, tl_bbt, left_last, ovf = bbt(
+        ascii_seq, can_h, jnp.maximum(max_s1 - 1, 1),
+        jnp.ones_like(max_s1), mc - accum, jnp.zeros((N,), jnp.int32),
+        rightward=False)
     fallback = fallback | ovf
     got_h = can_h & (numh > 0)
     multi = multi + jnp.where(got_h, numh, 0)
@@ -485,12 +558,9 @@ def _phase5_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
     high_end = max_e1 + k - 1
     act_t = ok & (high_end < Lr)
     can_t = act_t & (accum < mc)
-    ascii_seq, numt, tr_bbt, right_last, ovf = _bbt_impl(
-        ascii_seq, lengths, probe, can_t,
-        jnp.minimum(high_end + 1, Lr), Lr,
-        mc - accum, Lr + 1,
-        k=k, rightward=True, is_modify_trimmed=True,
-        global_any=global_any, vary=vary)
+    ascii_seq, numt, tr_bbt, right_last, ovf = bbt(
+        ascii_seq, can_t, jnp.minimum(high_end + 1, Lr), Lr,
+        mc - accum, Lr + 1, rightward=True)
     fallback = fallback | ovf
     got_t = can_t & (numt > 0)
     multi = multi + jnp.where(got_t, numt, 0)
@@ -518,21 +588,35 @@ def _phase5_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
     return ascii_seq, multi, deleted, trim_left, trim_right, fallback
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "compact_c"))
 def _wave_step(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
-               fail, fallback, i, mc, *, k: int):
+               fail, fallback, i, mc, *, k: int,
+               compact_c: int | None = None):
     """Gap wave i against an HBM-resident full table."""
     return _wave_impl(ascii_seq, lengths,
                       lambda idx: _probe(bitmap, idx), hs1, he1, num_h,
-                      accum, multi, fail, fallback, i, mc, k=k)
+                      accum, multi, fail, fallback, i, mc, k=k,
+                      compact_c=compact_c)
 
 
 def _wave_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
                fail, fallback, i, mc, *, k: int, global_any=None,
-               vary=None):
+               vary=None, compact_c=None):
     """Gap wave i: rightward BBT, then leftward for the failures
-    (correct.cpp:222-263)."""
+    (correct.cpp:222-263).  compact_c: active-row compaction width
+    (single-device only)."""
     N = ascii_seq.shape[0]
+
+    def bbt(a, act, cs, ce, ma, lci, rightward):
+        if compact_c is not None and global_any is None:
+            return _bbt_compact(a, lengths, probe, act, cs, ce, ma, lci,
+                                k=k, rightward=rightward,
+                                is_modify_trimmed=False,
+                                compact_c=compact_c)
+        return _bbt_impl(a, lengths, probe, act, cs, ce, ma, lci,
+                         k=k, rightward=rightward,
+                         is_modify_trimmed=False,
+                         global_any=global_any, vary=vary)
     rows = jnp.arange(N)
     gap_exists = (i <= num_h - 2)
     budget_ok = accum < mc
@@ -542,11 +626,9 @@ def _wave_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
 
     cs_r = he_i + k                    # high_end+1 where high_end=he1+k-1
     ce_r = hs_n + k - 2                # low region's last base
-    ascii_seq, numr, lntr, _, ovf = _bbt_impl(
-        ascii_seq, lengths, probe, act, cs_r, ce_r, mc - accum,
-        jnp.full((N,), -1, jnp.int32),
-        k=k, rightward=True, is_modify_trimmed=False,
-        global_any=global_any, vary=vary)
+    ascii_seq, numr, lntr, _, ovf = bbt(
+        ascii_seq, act, cs_r, ce_r, mc - accum,
+        jnp.full((N,), -1, jnp.int32), rightward=True)
     fallback = fallback | ovf
     ok_r = act & (lntr == 0) & (numr > 0)
     multi = multi + jnp.where(ok_r, numr, 0)
@@ -555,11 +637,9 @@ def _wave_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
     act_l = act & ~ok_r
     cs_l = hs_n - 1
     ce_l = he_i + 1
-    ascii_seq, numl, lntl, _, ovf = _bbt_impl(
-        ascii_seq, lengths, probe, act_l, cs_l, ce_l, mc - accum,
-        jnp.full((N,), -1, jnp.int32),
-        k=k, rightward=False, is_modify_trimmed=False,
-        global_any=global_any, vary=vary)
+    ascii_seq, numl, lntl, _, ovf = bbt(
+        ascii_seq, act_l, cs_l, ce_l, mc - accum,
+        jnp.full((N,), -1, jnp.int32), rightward=False)
     fallback = fallback | ovf
     ok_l = act_l & (lntl == 0) & (numl > 0)
     multi = multi + jnp.where(ok_l, numl, 0)

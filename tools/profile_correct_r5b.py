@@ -1,4 +1,4 @@
-"""Round-5 correction profiler (VERDICT r04 weak 1 / next 1).
+"""Round-5 correction profiler B: optimized kernel (VERDICT r04 weak 1 / next 1).
 
 Measures, on the real TPU at k=17 with the 2-GiB 1-bit table built ON
 DEVICE (the dev tunnel moves ~3.4 MB/s; uploading the table would take
@@ -11,7 +11,7 @@ DEVICE (the dev tunnel moves ~3.4 MB/s; uploading the table would take
               compaction + packed change-slots instead of the 64-lane
               stable argsort + [N,W,2] minor-2 arrays)
 
-Run: python -u tools/profile_correct_r5.py 2>&1 | tee /tmp/correct_r5.log
+Run: python -u tools/profile_correct_r5b.py 2>&1 | tee /tmp/correct_r5.log
 """
 import os
 import sys
@@ -138,12 +138,14 @@ def main():
             a2, accum, multi, fail, fb = st
             return dev._wave_step(a2, l_, bm, hs1, he1, num_h, accum,
                                   multi, fail, fb, i.astype(jnp.int32),
-                                  jnp.int32(mc), k=K)
+                                  jnp.int32(mc), k=K,
+                                  compact_c=N_READS // 4)
         a2, accum, multi, fail, fb = jax.lax.fori_loop(
             0, waves, wave, (a2, accum, multi, fail, fb))
         a2, multi, deleted, tl, tr, fb = dev._phase5(
             a2, l_, bm, hs1, he1, num_h, accum, multi, fail, fb,
-            k=K, mc=mc, ft=p.further_trim, min_len=p.min_read_len)
+            k=K, mc=mc, ft=p.further_trim, min_len=p.min_read_len,
+            compact_c=N_READS // 2)
         return (jnp.sum(one + multi + deleted + tl + tr).astype(jnp.int64)
                 + jnp.sum(fb).astype(jnp.int64)
                 + a2[0, 0].astype(jnp.int64))
@@ -162,9 +164,8 @@ def main():
         return (jnp.sum(num + lnt).astype(jnp.int64)
                 + a2[0, 0].astype(jnp.int64))
 
-    timed("stageA", loop(body_stage_a), bmd, ab, cb, lb)
-    timed("full", loop(body_full), bmd, ab, cb, lb)
-    timed("bbt1 span200", loop(body_bbt1), bmd, ab, lb)
+    timed("full opt+compact", loop(body_full), bmd, ab, cb, lb)
+    timed("bbt1 span200 opt", loop(body_bbt1), bmd, ab, lb)
 
 
 if __name__ == "__main__":

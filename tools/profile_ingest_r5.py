@@ -37,16 +37,19 @@ SENTINEL = kc.SENTINEL
 
 def timed(name, fn, *args, iters_hi=8, iters_lo=2, unit_n=N):
     t0 = time.perf_counter()
-    jfn = jax.jit(fn, static_argnames=("iters",))
-    float(np.asarray(jfn(*args, iters=1)))
+    jfn = jax.jit(fn)
+    # iters is a DYNAMIC arg (bench.py pattern): one compile serves all
+    # iteration counts — a static iters would fold its compile time into
+    # the measurement on this remote-compile attachment
+    float(np.asarray(jfn(*args, jnp.int32(1))))
     print(f"[{name}: compiled in {time.perf_counter()-t0:.1f}s]", flush=True)
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
-        float(np.asarray(jfn(*args, iters=iters_hi)))
+        float(np.asarray(jfn(*args, jnp.int32(iters_hi))))
         hi = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(np.asarray(jfn(*args, iters=iters_lo)))
+        float(np.asarray(jfn(*args, jnp.int32(iters_lo))))
         lo = time.perf_counter() - t0
         per = (hi - lo) / (iters_hi - iters_lo)
         best = per if best is None else min(best, per)
@@ -56,11 +59,13 @@ def timed(name, fn, *args, iters_hi=8, iters_lo=2, unit_n=N):
 
 
 def loop(body):
-    def f(*args, iters):
+    def f(*args):
+        args, iters = args[:-1], args[-1]
+
         def step(i, acc):
             rolled = tuple(jnp.roll(a, i, axis=0) for a in args)
             return acc + body(*rolled)
-        return jax.lax.fori_loop(0, iters, step, jnp.int64(0))
+        return jax.lax.fori_loop(jnp.int32(0), iters, step, jnp.int64(0))
     return f
 
 

@@ -75,12 +75,14 @@ def main(workdir="/tmp/ecoli_scale"):
     from dbg_assembly_tpu.clean import lowqual, adapter
     ours_clean, ref_clean = [], []
     t0 = time.time()
+    fresh = 0
     for p1, p2, ins in libs:
         for p in (p1, p2):
             b = os.path.basename(p)
             lq = os.path.join(workdir, b + ".nonLowQual.gz")
             ad = os.path.join(workdir, b + ".nonAdapter.gz")
             if not os.path.exists(ad):
+                fresh += 1
                 lowqual.run_file(p, lq, lq[:-3] + ".stat", err_cutoff=0.01,
                                  min_read_len=75)
                 adapter.run_file(lq, ad, ad[:-3] + ".stat",
@@ -88,14 +90,54 @@ def main(workdir="/tmp/ecoli_scale"):
                                  score_cutoff=12, min_read_len=75)
             ours_clean.append(ad)
     ours_t = time.time() - t0
+    if fresh < 2 * len(libs):
+        # resumed run: the skipped files would bias ours_t to ~0 the same
+        # way the cached reference goldens biased ref_t; re-time one full
+        # fresh pass into throwaway outputs
+        t0 = time.time()
+        for p1, p2, ins in libs:
+            for p in (p1, p2):
+                b = os.path.basename(p)
+                tlq = os.path.join(workdir, b + ".ourstime.lq.gz")
+                tad = os.path.join(workdir, b + ".ourstime.ad.gz")
+                lowqual.run_file(p, tlq, tlq + ".stat", err_cutoff=0.01,
+                                 min_read_len=75)
+                adapter.run_file(tlq, tad, tad + ".stat",
+                                 adapter_file="Both-adapter",
+                                 score_cutoff=12, min_read_len=75)
+                for f in (tlq, tad, tlq + ".stat", tad + ".stat"):
+                    os.unlink(f)
+        ours_t = time.time() - t0
+    # golden.ref_clean_* CACHE their outputs; timing the cached lookup
+    # reported "ref=0.0s" in earlier rounds (VERDICT r04 weak 4) while our
+    # side was timed for real.  Time fresh single-thread reference runs
+    # into the workdir, keep the cached outputs for the byte compare.
+    import subprocess
     t0 = time.time()
+    for p1, p2, ins in libs:
+        for p in (p1, p2):
+            b = os.path.basename(p)
+            tlq = os.path.join(workdir, b + ".reftime.lq.gz")
+            tad = os.path.join(workdir, b + ".reftime.ad.gz")
+            subprocess.run(
+                ["/root/reference/clean_illumina/clean_lowqual", "-e",
+                 "0.01", "-r", "75", "-t", "1", p, tlq, tlq + ".stat"],
+                check=True, capture_output=True)
+            subprocess.run(
+                ["/root/reference/clean_illumina/clean_adapter", "-a",
+                 "/root/reference/clean_illumina/illumina_NEB_adapter.fa",
+                 "-r", "75", "-s", "12", "-t", "1", tlq, tad,
+                 tad + ".stat"],
+                check=True, capture_output=True)
+            for f in (tlq, tad, tlq + ".stat", tad + ".stat"):
+                os.unlink(f)
+    ref_t = time.time() - t0
     for p1, p2, ins in libs:
         for p in (p1, p2):
             r_lq = golden.ref_clean_lowqual(p, err=0.01, min_len=75)
             r_ad = golden.ref_clean_adapter(r_lq["out"], score=12,
                                             min_len=75)
             ref_clean.append(r_ad["out"])
-    ref_t = time.time() - t0
     ok = all(gz_eq(a, b) for a, b in zip(ref_clean, ours_clean))
     results["clean"] = (ok, ours_t, ref_t)
     note(f"cleaning: match={ok} ours={ours_t:.1f}s ref={ref_t:.1f}s")
