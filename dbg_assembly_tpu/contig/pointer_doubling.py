@@ -79,21 +79,25 @@ class _Graph:
         self.k = params.ksize
         self.mask = np.uint64((1 << (2 * self.k)) - 1)
         kmers = table.kmers
-        lcnt = np.minimum(table.lcnt, 255).astype(np.int32)
-        rcnt = np.minimum(table.rcnt, 255).astype(np.int32)
         first_idx = table.first_idx.astype(np.int64)
-        if not (kmers == np.uint64(0)).any():
+        pre = 0 if (kmers == np.uint64(0)).any() else 1
+        if pre:
             # the reference unconditionally appends a (possibly empty)
             # poly-A node (DBGgraph.cpp:417-418); table stays sorted
             kmers = np.concatenate([[np.uint64(0)], kmers])
-            lcnt = np.concatenate([np.zeros((1, 4), np.int32), lcnt])
-            rcnt = np.concatenate([np.zeros((1, 4), np.int32), rcnt])
             first_idx = np.concatenate([[np.int64(2 ** 62)], first_idx])
         self.M = M = len(kmers)
         M1 = M + 1                           # + sentinel row (reads zeros)
         self.kmers = kmers                   # [M] sorted ascending
-        self.lcnt = np.concatenate([lcnt, np.zeros((1, 4), np.int32)])
-        self.rcnt = np.concatenate([rcnt, np.zeros((1, 4), np.int32)])
+        # one allocation each for [poly-A row?] + counters + sentinel row
+        # (the old minimum/astype + two concatenates copied each 214MB
+        # plane three times)
+        self.lcnt = np.zeros((M1, 4), np.int32)
+        self.rcnt = np.zeros((M1, 4), np.int32)
+        np.minimum(table.lcnt, 255, out=self.lcnt[pre:pre + len(table.lcnt)],
+                   casting="unsafe")
+        np.minimum(table.rcnt, 255, out=self.rcnt[pre:pre + len(table.rcnt)],
+                   casting="unsafe")
         self.deleted = np.zeros(M1, bool)
         self.l_num = np.zeros(M1, np.int32)
         self.r_num = np.zeros(M1, np.int32)
@@ -114,15 +118,12 @@ class _Graph:
         if len(order) > int(size * params.load_factor):
             raise RuntimeError("node table exceeds hash capacity — raise "
                                "init_hash_size")
-        slots, conflicts = native.hash_layout(kmers[order], size)
+        slots, disp, conflicts = native.hash_layout_disp(kmers[order], size)
         self.stats.hash_conflicts = conflicts
         if table.counts is not None:
             counts = table.counts
             if len(counts) != M:
                 counts = np.concatenate([[np.int32(0)], counts])
-            home = (native.jenkins64(kmers[order])
-                    % np.uint64(size)).astype(np.int64)
-            disp = (slots - home) % size
             self.stats.hash_conflicts_occ = int(
                 (disp * counts[order].astype(np.int64)).sum())
         slot_of = np.full(M, -1, np.int64)
@@ -135,8 +136,8 @@ class _Graph:
             self.stats.hash_conflicts_occ += 1
             hc = 0 if hc + 1 == size else hc + 1
         slot_of[pa] = hc
-        self.prio = np.empty(M, np.int64)       # node id -> iteration rank
-        self.prio[native.radix_argsort_u64(slot_of)] = np.arange(M)
+        # node -> iteration rank by ascending slot (native dense pass)
+        self.prio = native.slot_rank(slot_of, size)
 
     # ----------------------------------------------------------- locate
     def locate(self, nf: np.ndarray) -> np.ndarray:
@@ -714,6 +715,40 @@ def remove_bubbles(g: _Graph, out_path: str):
 # pointer-doubling readout
 # =========================================================================
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _succ_resolve(kmers: jnp.ndarray, l_base: jnp.ndarray,
+                  r_base: jnp.ndarray, alive: jnp.ndarray, *, k: int):
+    """Fused successor-build + pointer-doubling for read_out_contigs:
+    next-kmer math, sorted-table search and chain resolution as ONE XLA
+    program over the interleaved 2M directed states (state 2i = node i
+    rightward, 2i+1 leftward).  Replaces the separate numpy
+    next_ids/locate/resolve passes."""
+    M = kmers.shape[0]
+    mask = jnp.uint64((1 << (2 * k)) - 1)
+    STOP = jnp.int64(2 * M)
+
+    def step(base, right: bool):
+        b = base.astype(jnp.uint64)
+        if right:
+            nk = ((kmers << jnp.uint64(2)) | b) & mask
+        else:
+            nk = (kmers >> jnp.uint64(2)) \
+                | (b << jnp.uint64(2 * (k - 1)))
+        rc = dna.revcomp_kbit(nk, k)
+        flip = nk >= rc
+        nf = jnp.where(flip, rc, nk)
+        left_after = flip if right else ~flip
+        idx = jnp.searchsorted(kmers, nf)
+        idxc = jnp.minimum(idx, M - 1)
+        ok = alive & (kmers[idxc] == nf) & alive[idxc]
+        return jnp.where(ok, 2 * idxc + left_after, STOP)
+
+    succ = jnp.stack([step(r_base, True), step(l_base, False)],
+                     axis=1).reshape(-1)
+    e, dist, cyclic = _resolve_chains(succ)
+    return succ, e, dist, cyclic
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cut"))
 def contig_stage_step(kmers: jnp.ndarray, lcnt: jnp.ndarray,
                       rcnt: jnp.ndarray, *, k: int, cut: int):
@@ -862,13 +897,33 @@ def read_out_contigs(g: _Graph, prefix: str):
     base = np.where(sdir == 1, g.r_base[node], g.l_base[node])
     depth = np.where(sdir == 1, g.rcnt[node, base],
                      g.lcnt[node, base]).astype(np.int64)
-    nf, ndir = g.next_ids(node, sdir, base)
-    nxt = g.locate(nf)
-    ok = alive[node] & (nxt != M) & g.linear[np.minimum(nxt, M)]
-    succ = np.where(ok, 2 * nxt + (ndir == -1).astype(np.int64), STOP)
-    succ = np.where(alive[node], succ, STOP)
+    if type(g) is _Graph:
+        # single fused XLA program for next-kmer + table search + pointer
+        # doubling: the separate numpy passes (next_ids / locate /
+        # resolve_chains over 2M states) cost ~20s at 13M nodes — half
+        # the whole readout (PROFILE.md round 5)
+        succ, e, dist, cyclic = (np.asarray(x) for x in _succ_resolve(
+            jnp.asarray(g.kmers), jnp.asarray(g.l_base[:M]),
+            jnp.asarray(g.r_base[:M]),
+            jnp.asarray(alive), k=g.k))
+    else:
+        nf, ndir_a = g.next_ids(node, sdir, base)
+        nxt_a = g.locate(nf)
+        ok = alive[node] & (nxt_a != M) & g.linear[np.minimum(nxt_a, M)]
+        succ = np.where(ok, 2 * nxt_a + (ndir_a == -1).astype(np.int64),
+                        STOP)
+        succ = np.where(alive[node], succ, STOP)
+        e, dist, cyclic = g.resolve_chains(succ)
 
-    e, dist, cyclic = g.resolve_chains(succ)
+    def state_next(s: int):
+        """(next node id, arriving direction) of one directed state —
+        boundary-info lookups touch only a handful of states, so they do
+        not warrant materializing the full nxt/ndir arrays."""
+        nd = np.array([1 if s % 2 == 0 else -1], np.int64)
+        nid = np.array([s >> 1], np.int64)
+        b = g.r_base[nid] if s % 2 == 0 else g.l_base[nid]
+        nf1, nd1 = g.next_ids(nid, nd, np.asarray(b, np.int64))
+        return int(g.locate(nf1)[0]), int(nd1[0])
 
     is_state = alive[node]
     rev = np.arange(n_states, dtype=np.int64) ^ 1
@@ -958,11 +1013,11 @@ def read_out_contigs(g: _Graph, prefix: str):
             q = int(seed_pos[c])
             dbytes = eadj[:q + 1] + mid + eadj[q + 1:]
             # header boundary info: left = rev(head) stop, right = end stop
-            lkm, lmark, lrep = _boundary_info(
-                g, int(nxt[h ^ 1]), int(ndir[h ^ 1]))
+            ln_id, ln_dir = state_next(h ^ 1)
+            lkm, lmark, lrep = _boundary_info(g, ln_id, ln_dir)
             endst = int(e[h])
-            rkm, rmark, rrep = _boundary_info(
-                g, int(nxt[endst]), int(ndir[endst]))
+            rn_id, rn_dir = state_next(endst)
+            rkm, rmark, rrep = _boundary_info(g, rn_id, rn_dir)
             if sdir[seed_state[c]] != 1:
                 # the seed walks canonical-leftward on this chain: the
                 # reference emits the reverse-complement frame

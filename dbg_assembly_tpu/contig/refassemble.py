@@ -328,15 +328,13 @@ class RefAssembler:
                     total += int((disp * d_occ).sum())
                 self.stats.hash_conflicts_occ = total
         else:
-            slots, conflicts = native.hash_layout(kmers[order], size)
+            # per-occurrence conflicts: every occurrence probes the full
+            # insert-time displacement of its species (the slot path is
+            # frozen at insert); poly-A k-mers bypass the hash
+            slots, disp, conflicts = native.hash_layout_disp(kmers[order],
+                                                             size)
             self.stats.hash_conflicts = conflicts
             if counts is not None:
-                # per-occurrence conflicts: every occurrence probes the
-                # full insert-time displacement of its species (the slot
-                # path is frozen at insert); poly-A k-mers bypass the hash
-                home = (native.jenkins64(kmers[order])
-                        % np.uint64(size)).astype(np.int64)
-                disp = (slots - home) % size
                 self.stats.hash_conflicts_occ = int(
                     (disp * counts[order].astype(np.int64)).sum())
 

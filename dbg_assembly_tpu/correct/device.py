@@ -203,23 +203,41 @@ def _stage_a_impl(ascii_seq, codes, lengths, probe, *, k: int, m: int,
 # ===========================================================================
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "rightward", "is_modify_trimmed"))
+                   static_argnames=("k", "rightward", "is_modify_trimmed",
+                                    "unroll"))
 def _bbt_batch(ascii_seq, lengths, bitmap, active, check_start, check_end,
                max_allowed, last_change_init, *, k: int, rightward: bool,
-               is_modify_trimmed: bool):
+               is_modify_trimmed: bool, unroll: int = 1):
     """One batched BBT call against an HBM-resident full table."""
+    if bitmap.dtype == jnp.uint32:
+        words = bitmap
+    else:
+        words = jax.lax.bitcast_convert_type(bitmap.reshape(-1, 4),
+                                             jnp.uint32)
     return _bbt_impl(ascii_seq, lengths, lambda idx: _probe(bitmap, idx),
                      active, check_start, check_end, max_allowed,
                      last_change_init, k=k, rightward=rightward,
-                     is_modify_trimmed=is_modify_trimmed)
+                     is_modify_trimmed=is_modify_trimmed, unroll=unroll,
+                     probe_word=lambda widx: words[widx])
 
 
 def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
               max_allowed, last_change_init, *, k: int, rightward: bool,
-              is_modify_trimmed: bool, global_any=None, vary=None):
+              is_modify_trimmed: bool, global_any=None, vary=None,
+              unroll: int = 1, probe_word=None):
     """One batched BBT call (every active read searches in lockstep), with
     the table lookup abstracted as probe(idx)->bool — the sharded-table
     corrector (correct/sharded.py) passes the collective probe.
+
+    probe_word(word_idx)->u32, when given, enables the ONE-WORD fast
+    path: a lane's 4 rightward children are consecutive k-mer values
+    sharing a single u32 table word, and because every correction table
+    is RC-CLOSED (the loaders OR in reverse-complement bits,
+    main_parallel_senior.cpp:310-329; kmer.count.expand_bitmap_rc), the 4
+    leftward children equal rc-space values (rc_kmer<<2 | comp(j)) that
+    also share one word — so each lane costs ONE random gather instead
+    of four.  The random table gather is ~99%% of per-trip device time
+    (PROFILE.md round 5), so this is a direct 4x.
 
     check_start/check_end: 1-based base positions (reference cycle range).
     Returns (new_ascii, num_corrected, len_need_trim, last_change, overflow).
@@ -252,6 +270,8 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
 
     lane = jnp.arange(W, dtype=jnp.int32)[None, :]
     kmer0 = jnp.broadcast_to(root[:, None], (N, W))
+    rkmer0 = jnp.broadcast_to(dna.revcomp_kbit(root, k)[:, None], (N, W)) \
+        if probe_word is not None else None
     change0 = jnp.broadcast_to(
         jnp.where(lane == 0, 0, BIG).astype(jnp.int32), (N, W))
     alive0 = (lane == 0) & active[:, None]
@@ -270,11 +290,15 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
         # under shard_map the trip decision must be GLOBALLY uniform (the
         # collective probe inside the body would deadlock if shards exited
         # at different trips): global_any ORs across the mesh
-        more = jnp.any(~st[5])
+        more = jnp.any(~st[-2])
         return more if global_any is None else global_any(more)
 
-    def body(st):
-        kmer, change, alive, chg, cp, done, ovf = st
+    def one_step(st):
+        if probe_word is not None:
+            kmer, rkmer, change, alive, chg, cp, done, ovf = st
+        else:
+            kmer, change, alive, chg, cp, done, ovf = st
+            rkmer = None
         running = ~done
         col = jnp.clip((cp - 1).astype(jnp.int64), 0, L - 1)
         rchar = jnp.take_along_axis(ascii_seq, col[:, None], axis=1)[:, 0]
@@ -286,37 +310,61 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
                 (jj << jnp.uint64(2 * (k - 1)))
         same = bases_ascii[None, None, :] == rchar[:, None, None]
         cchange = change[:, :, None] + (~same).astype(jnp.int32)
-        # probe only candidates that could survive: typically <=2-3 of the
-        # W lanes are alive and half the rows are done — pointing every
-        # other candidate's gather at word 0 keeps those accesses in cache
-        # instead of random 2-GiB HBM lines (the probe gather is the
-        # dominant per-trip cost)
-        maybe = (alive[:, :, None] & (cchange <= ma)
-                 & running[:, None, None])
-        ck_q = jnp.where(maybe, ck, jnp.uint64(0))
-        calive = maybe & probe(ck_q)
+        if probe_word is not None:
+            # one gather per lane: the word holding all 4 children
+            wkey = ((kmer if rightward else rkmer) << jnp.uint64(2)) & mask
+            w = probe_word((wkey >> jnp.uint64(5)).astype(jnp.int64))
+            jc = jj if rightward else (jnp.uint64(3) - jj)
+            shift = (jnp.uint64(8)
+                     * ((wkey[:, :, None] >> jnp.uint64(3)) & jnp.uint64(3))
+                     + jnp.uint64(7)
+                     - ((wkey[:, :, None] & jnp.uint64(7)) | jc))
+            hits = ((w[:, :, None] >> shift.astype(jnp.uint32))
+                    & jnp.uint32(1)).astype(jnp.bool_)
+        else:
+            hits = probe(ck)
+        calive = (alive[:, :, None] & (cchange <= ma) & hits
+                  & running[:, None, None])
         any_child = jnp.any(calive, axis=(1, 2))
         n_alive = jnp.sum(calive, axis=(1, 2))
         ovf = ovf | (running & (n_alive > W))
         progress = running & any_child
 
-        # compact alive children into W lanes: top_k of the alive flags is
-        # the first-W stable selection (ties keep the lower index — same
-        # order as the stable argsort it replaces, at a fraction of the
-        # 64-lane sort's cost)
+        # compact alive children into W lanes GATHER-FREE: candidate c's
+        # destination lane is its alive-prefix rank; every "select by
+        # index" becomes a one-hot masked sum over the 64 candidates
+        # (exactly one term survives per lane).  The earlier per-row
+        # take_along_axis gathers (and the stable argsort/top_k before
+        # them) were the dominant per-trip cost — per-row gathers along a
+        # 64-wide minor axis do not vectorize on the VPU.
         fa = calive.reshape(N, 4 * W)
-        sel = jax.lax.top_k(fa.astype(jnp.int32), W)[1]        # flat idx
-        pw = sel // 4
-        pj = (sel % 4).astype(jnp.int32)
-        new_alive = jnp.take_along_axis(fa, sel, axis=1)
-        new_kmer = jnp.take_along_axis(ck.reshape(N, 4 * W), sel, axis=1)
-        new_change = jnp.take_along_axis(cchange.reshape(N, 4 * W), sel,
-                                         axis=1)
+        tgt = jnp.cumsum(fa.astype(jnp.int32), axis=1) - 1     # dest lane
+        lane_w = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+        selm = fa[:, None, :] & (tgt[:, None, :] == lane_w)    # [N,W,64]
+
+        def pick(vals):
+            v = vals.reshape(N, 1, 4 * W)
+            return jnp.sum(jnp.where(selm, v, 0), axis=2, dtype=v.dtype)
+
+        new_alive = jnp.any(selm, axis=2)
+        new_kmer = pick(ck.astype(jnp.int64)).astype(jnp.uint64)
+        if probe_word is not None:
+            jr = jnp.uint64(3) - jj       # complement of the added base
+            if rightward:
+                rk = (rkmer[:, :, None] >> jnp.uint64(2)) | \
+                    (jr << jnp.uint64(2 * (k - 1)))
+            else:
+                rk = ((rkmer[:, :, None] << jnp.uint64(2)) | jr) & mask
+            new_rkmer = pick(rk.astype(jnp.int64)).astype(jnp.uint64)
+        new_change = pick(cchange)
         new_change = jnp.where(new_alive, new_change, BIG)
-        p_change = jnp.take_along_axis(change, pw, axis=1)
-        p_chg = jnp.take_along_axis(chg, pw, axis=1)
-        same_b = jnp.broadcast_to(same, (N, W, 4))
-        was_same = jnp.take_along_axis(same_b.reshape(N, 4 * W), sel, axis=1)
+        pj = pick(jnp.broadcast_to(
+            jnp.arange(4, dtype=jnp.int32)[None, None, :], (N, W, 4)))
+        rep4 = jnp.broadcast_to(change[:, :, None], (N, W, 4))
+        p_change = pick(rep4)
+        p_chg = pick(jnp.broadcast_to(chg[:, :, None], (N, W, 4)))
+        was_same = pick(jnp.broadcast_to(same, (N, W, 4)).astype(
+            jnp.int32)) > 0
         slot = jnp.clip(p_change, 0, 1)                        # 0 or 1
         wr = (~was_same)
         rec = cp[:, None] | (pj << 10)                         # pos|base
@@ -334,16 +382,33 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
         cp_next = jnp.where(progress, cp + step, cp)
         out_of_span = (cp_next > ce) if rightward else (cp_next < ce)
         done = done | (running & ~any_child) | (progress & out_of_span)
+        if probe_word is not None:
+            rkmer = jnp.where(pm, new_rkmer, rkmer)
+            return (kmer, rkmer, change, alive, chg, cp_next, done, ovf)
         return (kmer, change, alive, chg, cp_next, done, ovf)
 
-    carry0 = (kmer0, change0, alive0, chg0, cp0, done0, ovf0)
+    def body(st):
+        # unroll amortizes the while loop's per-iteration fixed cost; the
+        # extra steps past a read's end are masked no-ops (done freezes
+        # its state), so any unroll factor is semantics-preserving
+        for _ in range(unroll):
+            st = one_step(st)
+        return st
+
+    if probe_word is not None:
+        carry0 = (kmer0, rkmer0, change0, alive0, chg0, cp0, done0, ovf0)
+    else:
+        carry0 = (kmer0, change0, alive0, chg0, cp0, done0, ovf0)
     if global_any is not None:
         # under shard_map some initial carries are REPLICATED constants
         # while the body makes them device-varying; normalize the varying
         # manual axes up front (vary is supplied with the mesh axis)
         carry0 = vary(carry0)
     st = jax.lax.while_loop(cond, body, carry0)
-    kmer, change, alive, chg, cp, done, ovf = st
+    if probe_word is not None:
+        kmer, _rk, change, alive, chg, cp, done, ovf = st
+    else:
+        kmer, change, alive, chg, cp, done, ovf = st
 
     ch = jnp.where(alive, change, BIG)
     min_change = jnp.min(ch, axis=1)
@@ -383,7 +448,7 @@ def _bbt_impl(ascii_seq, lengths, probe, active, check_start, check_end,
 
 def _bbt_compact(ascii_seq, lengths, probe, active, check_start, check_end,
                  max_allowed, last_change_init, *, k: int, rightward: bool,
-                 is_modify_trimmed: bool, compact_c: int):
+                 is_modify_trimmed: bool, compact_c: int, probe_word=None):
     """Active-row compaction around _bbt_impl: gather the (typically few)
     active reads into a fixed compact_c-row batch, run the beam loop
     there, scatter results back.  At k=17 on PE250 only ~16% of reads
@@ -407,7 +472,8 @@ def _bbt_compact(ascii_seq, lengths, probe, active, check_start, check_end,
         jnp.take(check_start, rows_sel), jnp.take(check_end, rows_sel),
         jnp.take(max_allowed, rows_sel),
         jnp.take(last_change_init, rows_sel),
-        k=k, rightward=rightward, is_modify_trimmed=is_modify_trimmed)
+        k=k, rightward=rightward, is_modify_trimmed=is_modify_trimmed,
+        probe_word=probe_word)
     asc_o, num_c, lnt_c, lch_c, ovf_c = out
 
     wrow = jnp.where(act_c, rows_sel, N)
@@ -511,15 +577,19 @@ def _phase5(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
             fail, fallback, *, k: int, mc: int, ft: int, min_len: int,
             compact_c: int | None = None):
     """Phase 5 against an HBM-resident full table."""
+    words = bitmap if bitmap.dtype == jnp.uint32 else \
+        jax.lax.bitcast_convert_type(bitmap.reshape(-1, 4), jnp.uint32)
     return _phase5_impl(ascii_seq, lengths,
                         lambda idx: _probe(bitmap, idx), hs1, he1, num_h,
                         accum, multi, fail, fallback, k=k, mc=mc, ft=ft,
-                        min_len=min_len, compact_c=compact_c)
+                        min_len=min_len, compact_c=compact_c,
+                        probe_word=lambda widx: words[widx])
 
 
 def _phase5_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
                  fail, fallback, *, k: int, mc: int, ft: int, min_len: int,
-                 global_any=None, vary=None, compact_c=None):
+                 global_any=None, vary=None, compact_c=None,
+                 probe_word=None):
     """Phase 5 (correct.cpp:273-334) as one jitted program: head/tail BBT
     from the max combined high region + Further_trim_len end safety.
     compact_c: active-row compaction width for the head/tail beam calls
@@ -531,10 +601,13 @@ def _phase5_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
             return _bbt_compact(a, lengths, probe, act, cs, ce, ma, lci,
                                 k=k, rightward=rightward,
                                 is_modify_trimmed=True,
-                                compact_c=compact_c)
+                                compact_c=compact_c,
+                                probe_word=probe_word)
         return _bbt_impl(a, lengths, probe, act, cs, ce, ma, lci,
                          k=k, rightward=rightward, is_modify_trimmed=True,
-                         global_any=global_any, vary=vary)
+                         global_any=global_any, vary=vary,
+                         probe_word=probe_word if global_any is None
+                         else None)
     Lr = lengths
     max_s1, max_e1 = _max_combined(hs1, he1, num_h, fail)
     ok = ~fallback & (num_h > 0)
@@ -593,15 +666,18 @@ def _wave_step(ascii_seq, lengths, bitmap, hs1, he1, num_h, accum, multi,
                fail, fallback, i, mc, *, k: int,
                compact_c: int | None = None):
     """Gap wave i against an HBM-resident full table."""
+    words = bitmap if bitmap.dtype == jnp.uint32 else \
+        jax.lax.bitcast_convert_type(bitmap.reshape(-1, 4), jnp.uint32)
     return _wave_impl(ascii_seq, lengths,
                       lambda idx: _probe(bitmap, idx), hs1, he1, num_h,
                       accum, multi, fail, fallback, i, mc, k=k,
-                      compact_c=compact_c)
+                      compact_c=compact_c,
+                      probe_word=lambda widx: words[widx])
 
 
 def _wave_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
                fail, fallback, i, mc, *, k: int, global_any=None,
-               vary=None, compact_c=None):
+               vary=None, compact_c=None, probe_word=None):
     """Gap wave i: rightward BBT, then leftward for the failures
     (correct.cpp:222-263).  compact_c: active-row compaction width
     (single-device only)."""
@@ -612,11 +688,14 @@ def _wave_impl(ascii_seq, lengths, probe, hs1, he1, num_h, accum, multi,
             return _bbt_compact(a, lengths, probe, act, cs, ce, ma, lci,
                                 k=k, rightward=rightward,
                                 is_modify_trimmed=False,
-                                compact_c=compact_c)
+                                compact_c=compact_c,
+                                probe_word=probe_word)
         return _bbt_impl(a, lengths, probe, act, cs, ce, ma, lci,
                          k=k, rightward=rightward,
                          is_modify_trimmed=False,
-                         global_any=global_any, vary=vary)
+                         global_any=global_any, vary=vary,
+                         probe_word=probe_word if global_any is None
+                         else None)
     rows = jnp.arange(N)
     gap_exists = (i <= num_h - 2)
     budget_ok = accum < mc

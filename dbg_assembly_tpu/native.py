@@ -56,6 +56,8 @@ def _configure(_lib: ctypes.CDLL) -> None:
     _lib.find_next_prime.restype = ctypes.c_uint64
     _lib.find_next_prime.argtypes = [ctypes.c_uint64]
     _lib.hash_layout.restype = ctypes.c_int64
+    _lib.hash_layout_disp.restype = ctypes.c_int64
+    _lib.slot_rank.restype = None
     _lib.hash_layout_epochs.restype = ctypes.c_int64
     _lib.stdsort_perm_desc.restype = None
     _lib.radix_argsort_u64.restype = None
@@ -308,6 +310,33 @@ def hash_layout(kmers_in_order: np.ndarray, size: int):
         occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out, int(conflicts)
+
+
+def slot_rank(slot_of: np.ndarray, size: int) -> np.ndarray:
+    """node -> iteration rank by ascending slot (dense O(size) pass)."""
+    so = np.ascontiguousarray(slot_of, dtype=np.int64)
+    out = np.empty(len(so), dtype=np.int64)
+    lib().slot_rank(
+        so.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(so)), ctypes.c_uint64(size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def hash_layout_disp(kmers_in_order: np.ndarray, size: int):
+    """hash_layout + per-node insert displacement (slot - home mod size).
+    Returns (slots int64 [n], disp int64 [n], conflicts)."""
+    km = np.ascontiguousarray(kmers_in_order, dtype=np.uint64)
+    occ = np.zeros(size, dtype=np.uint8)
+    out = np.empty(len(km), dtype=np.int64)
+    disp = np.empty(len(km), dtype=np.int64)
+    conflicts = lib().hash_layout_disp(
+        km.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(len(km)), ctypes.c_uint64(size),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        disp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out, disp, int(conflicts)
 
 
 def hash_layout_epochs(kmers_in_order: np.ndarray, sizes: list[int],

@@ -79,6 +79,43 @@ int64_t hash_layout(const uint64_t* kmers, int64_t n, uint64_t size,
     return conflicts;
 }
 
+// node -> iteration rank by ascending slot (the reference's hash-slot
+// scan order).  One O(size) dense pass in C replaces a 13M-key argsort
+// or a numpy random scatter into a 400MB table (~2.5 s each at E. coli
+// x10 scale).
+void slot_rank(const int64_t* slot_of, int64_t n, uint64_t size,
+               int64_t* prio_out) {
+    std::vector<int64_t> slot_node(size, -1);
+    for (int64_t i = 0; i < n; i++) slot_node[slot_of[i]] = i;
+    int64_t rank = 0;
+    for (uint64_t s = 0; s < size; s++) {
+        if (slot_node[s] >= 0) prio_out[slot_node[s]] = rank++;
+    }
+}
+
+// hash_layout + per-node insert displacement (slot - home mod size): the
+// callers weight displacement by occurrence counts for count_conflict
+// parity and previously recomputed jenkins + modulo over all keys in
+// numpy (~2.5 s at 13M nodes).
+int64_t hash_layout_disp(const uint64_t* kmers, int64_t n, uint64_t size,
+                         uint8_t* occupied, int64_t* slots_out,
+                         int64_t* disp_out) {
+    int64_t conflicts = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t hc = jenkins64(kmers[i]) % size;
+        int64_t d = 0;
+        while (occupied[hc]) {
+            d++;
+            hc = (hc + 1 == size) ? 0 : hc + 1;
+        }
+        conflicts += d;
+        occupied[hc] = 1;
+        slots_out[i] = (int64_t)hc;
+        disp_out[i] = d;
+    }
+    return conflicts;
+}
+
 // Epoch-aware layout: the hash-enlargement emulation.  Inserts kmers in
 // first-occurrence order into a table of sizes[0]; after ends[e] total
 // nodes are in (checked between ingest buffers by the caller's schedule),
