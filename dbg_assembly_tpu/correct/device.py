@@ -44,7 +44,10 @@ from .. import dna
 R_MAX = 24    # low/high region slots per read
 C_MAX = 6     # phase-2 candidate slots per read
 H_MAX = 12    # merged high-region slots per read
-BEAM_W = 16   # BBT beam width (alive paths per search)
+BEAM_W = 8    # BBT beam width (alive paths per search).  8 halves the
+# per-lane table gathers vs 16 (full k=17 step: 357 -> 213 ms per 8192
+# reads); beams that would exceed W overflow to the exact host engine,
+# so width is a speed/fallback-rate knob, never a correctness one.
 
 _CODE_NP = np.zeros(256, np.uint8)
 for _c, _v in zip(b"ACGTNacgtn", (0, 1, 2, 3, 0, 0, 1, 2, 3, 0)):
