@@ -1,0 +1,60 @@
+"""contig_stage_step (the bench's device contig-stage kernel) must agree
+with the host _Graph path: links, linear flags, and chain resolution."""
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dbg_assembly_tpu.contig import pointer_doubling as pd
+from dbg_assembly_tpu.contig.graph import GraphBuilder
+from dbg_assembly_tpu.contig.refassemble import AssembleParams
+
+
+def test_contig_stage_step_matches_host():
+    rng = np.random.default_rng(2)
+    genome = rng.integers(0, 4, 5000).astype(np.uint8)
+    starts = rng.integers(0, 5000 - 80, 600)
+    codes = np.stack([genome[s:s + 80] for s in starts]).astype(np.uint8)
+    lengths = np.full(600, 80, np.int32)
+    gb = GraphBuilder(21)
+    gb.add(codes, lengths)
+    t = gb.finalize()
+    params = AssembleParams(ksize=21, init_hash_size=0.0001)
+    g = pd._Graph(t, params)
+    g.calc_links()
+    M = g.M
+    l_num, r_num, linear, e, dist, cyc = pd.contig_stage_step(
+        jnp.asarray(g.kmers), jnp.asarray(g.lcnt[:M]),
+        jnp.asarray(g.rcnt[:M]), k=21, cut=params.kmer_freq_cutoff)
+    np.testing.assert_array_equal(np.asarray(l_num), g.l_num[:M])
+    np.testing.assert_array_equal(np.asarray(r_num), g.r_num[:M])
+    np.testing.assert_array_equal(np.asarray(linear), g.linear[:M])
+
+    # successor/chain agreement vs the host construction (read_out path)
+    alive = (~g.deleted[:M]) & g.linear[:M]
+    node = np.repeat(np.arange(M, dtype=np.int64), 2)
+    sdir = np.tile(np.array([1, -1], np.int64), M)
+    base = np.where(sdir == 1, g.r_base[node], g.l_base[node])
+    nf, ndir = g.next_ids(node, sdir, base)
+    nxt = g.locate(nf)
+    ok = alive[node] & (nxt != M) & g.linear[np.minimum(nxt, M)]
+    succ_host = np.where(ok, 2 * nxt + (ndir == -1).astype(np.int64),
+                         2 * M)
+    eh, dh, ch = g.resolve_chains(succ_host)
+    d_k = np.asarray(dist)
+    c_k = np.asarray(cyc)
+    # kernel layout: [right states 0..M) ++ [left states M..2M); host
+    # interleaves (2i, 2i+1)
+    d_inter = np.empty(2 * M, np.int64)
+    d_inter[0::2] = d_k[:M]
+    d_inter[1::2] = d_k[M:]
+    c_inter = np.empty(2 * M, bool)
+    c_inter[0::2] = c_k[:M]
+    c_inter[1::2] = c_k[M:]
+    live = alive[node]
+    np.testing.assert_array_equal(d_inter[live], dh[live])
+    np.testing.assert_array_equal(c_inter[live], ch[live])
+    assert live.sum() > 1000
