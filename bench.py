@@ -213,7 +213,14 @@ def measure_contig():
     ensure_data()
     codes = np.load(os.path.join(DATA_DIR, "codes.npy"))[:BATCH]
     lengths = np.full(len(codes), READ_LEN, np.int32)
-    S = 1 << 22                     # 4.19M node rows (genome 3M distinct)
+    # size the static node-row count from the measured distinct-k-mer
+    # count (the error-containing read set has ~8.3M uniques: 3M genomic
+    # + error k-mers); count_unique_fast is already compiled by
+    # measure_counting in this process
+    from dbg_assembly_tpu.kmer import count as kc
+    _, _, n_unique0, _ = kc.count_unique_fast(
+        jnp.asarray(codes), jnp.asarray(lengths), KSIZE)
+    S = 1 << max(22, int(np.ceil(np.log2(int(n_unique0) + 1))))
 
     @jax.jit
     def build_table(c, l_):
@@ -395,6 +402,13 @@ def main():
             ctg["contig_nodes_per_s"] / base["ref_contig_nodes_per_s"], 3),
         "correct_reads_per_s": round(corr["correct_reads_per_s"], 1),
         "headline_spread_ms_per_iter": counting["prod_spread_ms"],
+        # the reference single-core rate is HOST-STATE dependent (this
+        # virtualized host sped up ~2.4x between rounds 1 and 5 — see
+        # BASELINE.md "baseline drift"); the denominator is recorded here
+        # so vs_baseline is interpretable across rounds
+        "baseline_ref_kmers_per_s": round(baseline, 1),
+        "baseline_ref_contig_nodes_per_s": round(
+            base["ref_contig_nodes_per_s"], 1),
     }
     if "error" in ctg:
         stages["contig_error"] = ctg["error"]
