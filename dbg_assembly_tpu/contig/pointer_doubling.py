@@ -178,8 +178,10 @@ class _Graph:
         st.total_nodes = M
         st.deleted_lowfreq = int(no_links.sum())
         st.linear_nodes = int(self.linear[:M].sum())
-        ids = np.arange(M, dtype=np.int64)
-        so = ids[native.radix_argsort_u64(self.prio)]
+        # argsort of a permutation is its inverse — one O(M) scatter,
+        # not another 13M-key radix sort
+        so = np.empty(M, np.int64)
+        so[self.prio] = np.arange(M, dtype=np.int64)
         self.tip_nodes = so[(self.l_num[so] + self.r_num[so]) == 1]
         self.branch_nodes = so[(self.l_num[so] > 1) | (self.r_num[so] > 1)]
         st.tip_candidates = len(self.tip_nodes)
@@ -806,13 +808,24 @@ def _resolve_chains(succ: jnp.ndarray):
     stop = succ >= n
     e = jnp.where(stop, s_idx, succ)
     r = jnp.where(stop, jnp.int64(0), jnp.int64(1))
+
+    # early exit: the fixed point arrives after ceil(log2(longest
+    # chain)) rounds, usually far below log2(n) — each round is a full
+    # n-wide gather pass, so stopping early is a direct saving.  CYCLES
+    # never reach a fixed point (e keeps rotating), so the round cap is
+    # load-bearing, not just a safety net.
     rounds = int(np.ceil(np.log2(max(int(n), 2)))) + 1
 
-    def body(_, st):
-        e, r = st
-        return e[e], r + r[e]
+    def cond(st):
+        return st[2] & (st[3] < rounds)
 
-    e, r = jax.lax.fori_loop(0, rounds, body, (e, r))
+    def body(st):
+        e, r, _, i = st
+        e2 = e[e]
+        return e2, r + r[e], jnp.any(e2 != e), i + 1
+
+    e, r, _, _ = jax.lax.while_loop(
+        cond, body, (e, r, jnp.asarray(True), jnp.int32(0)))
     succ_p = jnp.concatenate([succ, jnp.array([n], succ.dtype)])
     cyclic = succ_p[e] < n
     return e, r + 1, cyclic
