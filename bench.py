@@ -382,16 +382,19 @@ def main():
     base = measure_baseline()
     baseline = base["ref_single_core_kmers_per_s"]
     counting = measure_counting()
-    try:
-        ctg = measure_contig()
-    except Exception as e:
-        ctg = {"contig_nodes_per_s": 0.0,
-               "error": f"{type(e).__name__}: {e}"[:200]}
+    # correction BEFORE contig: the contig stage's long executions have
+    # tripped the remote worker's watchdog; a late crash must not void
+    # the correction number
     try:
         corr = measure_correction()
     except Exception as e:                      # stage metric must never
         corr = {"correct_reads_per_s": 0.0,     # kill the headline
                 "error": f"{type(e).__name__}: {e}"[:200]}
+    try:
+        ctg = measure_contig()
+    except Exception as e:
+        ctg = {"contig_nodes_per_s": 0.0,
+               "error": f"{type(e).__name__}: {e}"[:200]}
     rate = counting["prod_kmers_per_s"]
     stages = {
         "spectrum_kmers_per_s": round(counting["spectrum_kmers_per_s"], 1),
