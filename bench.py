@@ -260,22 +260,20 @@ def measure_contig():
                               jnp.roll(rcn, i, axis=0))
         return jax.lax.fori_loop(0, n, step, jnp.int64(0))
 
-    # per-iter is seconds-scale (the successor search over 2S states);
-    # the remote worker kills single executions around ~30s, so keep the
-    # loop short (4 iters ~ 16s)
+    # one call is ~27s on this chip (pointer doubling is gather-bound at
+    # ~8.6 ns/element — PROFILE.md round 5) and the remote worker kills
+    # single executions around ~30s, so time SINGLE executions and eat
+    # the ~1-3s dispatch (conservative: it biases the rate DOWN)
     import time as _time
     float(np.asarray(loop(km, lcn, rcn, 1)))
     secs = []
     for _ in range(2):
         t0 = _time.perf_counter()
-        float(np.asarray(loop(km, lcn, rcn, 4)))
-        hi = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
         float(np.asarray(loop(km, lcn, rcn, 1)))
-        lo = _time.perf_counter() - t0
-        secs.append(max((hi - lo) / 3, 1e-9))
+        secs.append(_time.perf_counter() - t0)
     per_iter = min(secs)
-    return {"contig_nodes_per_s": nodes / per_iter, "contig_nodes": nodes}
+    return {"contig_nodes_per_s": nodes / per_iter, "contig_nodes": nodes,
+            "contig_note": "single-execution wall incl. dispatch"}
 
 
 def measure_correction():

@@ -784,15 +784,31 @@ def contig_stage_step(kmers: jnp.ndarray, lcnt: jnp.ndarray,
     flip = nk >= rc
     nf = jnp.where(flip, rc, nk)
     ndir_left = flip ^ ~right          # walking leftward after the step
-    idx = jnp.searchsorted(kmers, nf)
+    # method="sort": the search joins queries and keys through ONE sort
+    # instead of per-query binary probing — in-program random gathers run
+    # at ~26M/s on this chip (PROFILE.md round 5), which made the default
+    # scan search ~15s at 16.8M queries
+    idx = jnp.searchsorted(kmers, nf, method="sort")
     idxc = jnp.minimum(idx, M - 1)
     found = kmers[idxc] == nf
     lin2 = jnp.concatenate([linear, linear])
     ok = lin2 & found & linear[idxc]
     STOP = jnp.int64(2 * M)
     succ = jnp.where(ok, idxc + jnp.where(ndir_left, M, 0), STOP)
-    e, dist, cyclic = _resolve_chains(succ)
-    return l_num, r_num, linear, e, dist, cyclic
+    # statically UNROLLED doubling: a while/fori-loop body's gathers hit
+    # the slow in-loop gather path; straight-line rounds gather at full
+    # bandwidth
+    n = succ.shape[0]
+    s_idx = jnp.arange(n, dtype=succ.dtype)
+    stop2 = succ >= n
+    e = jnp.where(stop2, s_idx, succ)
+    r = jnp.where(stop2, jnp.int64(0), jnp.int64(1))
+    rounds = int(np.ceil(np.log2(max(int(n), 2)))) + 1
+    for _ in range(rounds):
+        e, r = e[e], r + r[e]
+    succ_p = jnp.concatenate([succ, jnp.array([n], succ.dtype)])
+    cyclic = succ_p[e] < n
+    return l_num, r_num, linear, e, r + 1, cyclic
 
 
 @jax.jit
