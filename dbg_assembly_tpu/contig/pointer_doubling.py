@@ -190,18 +190,11 @@ class _Graph:
     def _links_bulk(self):
         """O(M) link/topology pass over the counters: per-node link count
         (capped at 3), max-depth base (first strictly-greater wins =
-        argmax, contig.cpp:136-139) and the 256-bin depth histogram."""
+        argmax, contig.cpp:136-139) and the 256-bin depth histogram —
+        one native pass (the numpy form cost ~3.5s at 13.4M nodes)."""
         cut = self.p.kmer_freq_cutoff
         M = self.M
-        l, r = self.lcnt[:M], self.rcnt[:M]
-        lq, rq = l > cut, r > cut
-        l_num = np.minimum(lq.sum(1), 3).astype(np.int32)
-        r_num = np.minimum(rq.sum(1), 3).astype(np.int32)
-        l_base = np.argmax(np.where(lq, l, 0), axis=1).astype(np.int32)
-        r_base = np.argmax(np.where(rq, r, 0), axis=1).astype(np.int32)
-        depth_stat = (np.bincount(l.reshape(-1), minlength=256)
-                      + np.bincount(r.reshape(-1), minlength=256))
-        return l_num, r_num, l_base, r_base, depth_stat
+        return native.links_pass(self.lcnt[:M], self.rcnt[:M], cut)
 
     def write_kmer_freq(self, path: str):
         with open(path, "w") as f:
@@ -927,14 +920,13 @@ def read_out_contigs(g: _Graph, prefix: str):
     depth = np.where(sdir == 1, g.rcnt[node, base],
                      g.lcnt[node, base]).astype(np.int64)
     if type(g) is _Graph:
-        # single fused XLA program for next-kmer + table search + pointer
-        # doubling: the separate numpy passes (next_ids / locate /
-        # resolve_chains over 2M states) cost ~20s at 13M nodes — half
-        # the whole readout (PROFILE.md round 5)
-        succ, e, dist, cyclic = (np.asarray(x) for x in _succ_resolve(
-            jnp.asarray(g.kmers), jnp.asarray(g.l_base[:M]),
-            jnp.asarray(g.r_base[:M]),
-            jnp.asarray(alive), k=g.k))
+        # native hash-lookup successor pass + XLA pointer doubling: the
+        # separate numpy passes (next_ids / locate / resolve_chains over
+        # 2M states) cost ~20s at 13M nodes, the fused XLA program ~10s,
+        # the native pass ~2s (PROFILE.md round 5)
+        succ = native.succ_build(g.kmers, g.l_base[:M], g.r_base[:M],
+                                 alive.astype(np.uint8), g.k)
+        e, dist, cyclic = g.resolve_chains(succ)
     else:
         nf, ndir_a = g.next_ids(node, sdir, base)
         nxt_a = g.locate(nf)

@@ -58,6 +58,8 @@ def _configure(_lib: ctypes.CDLL) -> None:
     _lib.hash_layout.restype = ctypes.c_int64
     _lib.hash_layout_disp.restype = ctypes.c_int64
     _lib.slot_rank.restype = None
+    _lib.succ_build.restype = None
+    _lib.links_pass.restype = None
     _lib.hash_layout_epochs.restype = ctypes.c_int64
     _lib.stdsort_perm_desc.restype = None
     _lib.radix_argsort_u64.restype = None
@@ -321,6 +323,50 @@ def slot_rank(slot_of: np.ndarray, size: int) -> np.ndarray:
         ctypes.c_int64(len(so)), ctypes.c_uint64(size),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out
+
+
+def succ_build(kmers: np.ndarray, l_base: np.ndarray, r_base: np.ndarray,
+               alive: np.ndarray, k: int) -> np.ndarray:
+    """Directed successor function over 2M interleaved states (native
+    hash-lookup pass; exact twin of pointer_doubling._succ_resolve's
+    succ construction)."""
+    km = np.ascontiguousarray(kmers, np.uint64)
+    lb = np.ascontiguousarray(l_base, np.int32)
+    rb = np.ascontiguousarray(r_base, np.int32)
+    al = np.ascontiguousarray(alive, np.uint8)
+    out = np.empty(2 * len(km), np.int64)
+    lib().succ_build(
+        km.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(len(km)),
+        lb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        al.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(k),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def links_pass(lcnt: np.ndarray, rcnt: np.ndarray, cut: int):
+    """One-pass link counts / first-strict-max bases / 256-bin depth
+    histogram (native twin of pointer_doubling._Graph._links_bulk)."""
+    lc = np.ascontiguousarray(lcnt, np.int32)
+    rc = np.ascontiguousarray(rcnt, np.int32)
+    M = len(lc)
+    l_num = np.empty(M, np.int32)
+    r_num = np.empty(M, np.int32)
+    l_base = np.empty(M, np.int32)
+    r_base = np.empty(M, np.int32)
+    hist = np.empty(256, np.int64)
+    lib().links_pass(
+        lc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(M), ctypes.c_int32(cut),
+        l_num.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        r_num.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        l_base.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        r_base.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return l_num, r_num, l_base, r_base, hist
 
 
 def hash_layout_disp(kmers_in_order: np.ndarray, size: int):

@@ -79,6 +79,98 @@ int64_t hash_layout(const uint64_t* kmers, int64_t n, uint64_t size,
     return conflicts;
 }
 
+static inline uint64_t revcomp_k(uint64_t x, int k) {
+    x = ~x;
+    x = ((x & 0x3333333333333333ULL) << 2) |
+        ((x >> 2) & 0x3333333333333333ULL);
+    x = ((x & 0x0F0F0F0F0F0F0F0FULL) << 4) |
+        ((x >> 4) & 0x0F0F0F0F0F0F0F0FULL);
+    x = __builtin_bswap64(x);
+    return x >> (64 - 2 * k);
+}
+
+// Directed successor function over the 2M interleaved states of
+// read_out_contigs (state 2i = node i walking canonical-rightward,
+// 2i+1 leftward): next-kmer math + canonical flip + table lookup via a
+// jenkins open-addressing hash (the XLA searchsorted twin costs ~10s at
+// 13M nodes on this 2-core host; this pass runs in ~2s).
+// kmers: sorted ascending (node id = position); alive: uint8.
+void succ_build(const uint64_t* kmers, int64_t M, const int32_t* l_base,
+                const int32_t* r_base, const uint8_t* alive, int k,
+                int64_t* succ_out) {
+    const uint64_t kmask =
+        (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int head_shift = 2 * (k - 1);
+    uint64_t size = 1;
+    while (size < (uint64_t)M * 2) size <<= 1;
+    const uint64_t hm = size - 1;
+    std::vector<int64_t> table(size, -1);
+    for (int64_t i = 0; i < M; i++) {
+        uint64_t hc = jenkins64(kmers[i]) & hm;
+        while (table[hc] >= 0) hc = (hc + 1) & hm;
+        table[hc] = i;
+    }
+    const int64_t STOP = 2 * M;
+    for (int64_t i = 0; i < M; i++) {
+        if (!alive[i]) {
+            succ_out[2 * i] = STOP;
+            succ_out[2 * i + 1] = STOP;
+            continue;
+        }
+        uint64_t km = kmers[i];
+        for (int right = 1; right >= 0; right--) {
+            uint64_t b = (uint64_t)(right ? r_base[i] : l_base[i]);
+            uint64_t nk = right ? (((km << 2) | b) & kmask)
+                                : ((km >> 2) | (b << head_shift));
+            uint64_t rc = revcomp_k(nk, k);
+            bool flip = nk >= rc;
+            uint64_t nf = flip ? rc : nk;
+            int left_after = right ? (int)flip : (int)(!flip);
+            int64_t j = -1;
+            uint64_t hc = jenkins64(nf) & hm;
+            while (table[hc] >= 0) {
+                int64_t cand = table[hc];
+                if (kmers[cand] == nf) { j = cand; break; }
+                hc = (hc + 1) & hm;
+            }
+            int64_t s = STOP;
+            if (j >= 0 && alive[j]) s = 2 * j + left_after;
+            succ_out[2 * i + (right ? 0 : 1)] = s;
+        }
+    }
+}
+
+// One-pass link/topology computation (calculate_kmer_links bulk math):
+// per-node qualified-link count (capped 3), first-strict-max base, and
+// the 256-bin depth histogram over BOTH counter planes.
+void links_pass(const int32_t* lcnt, const int32_t* rcnt, int64_t M,
+                int32_t cut, int32_t* l_num, int32_t* r_num,
+                int32_t* l_base, int32_t* r_base, int64_t* hist256) {
+    for (int i = 0; i < 256; i++) hist256[i] = 0;
+    for (int64_t i = 0; i < M; i++) {
+        const int32_t* l = lcnt + 4 * i;
+        const int32_t* r = rcnt + 4 * i;
+        int ln = 0, rn = 0, lb = 0, rb = 0;
+        int lbest = 0, rbest = 0;
+        for (int j = 0; j < 4; j++) {
+            hist256[l[j] & 255]++;
+            hist256[r[j] & 255]++;
+            if (l[j] > cut) {
+                ln++;
+                if (l[j] > lbest) { lbest = l[j]; lb = j; }
+            }
+            if (r[j] > cut) {
+                rn++;
+                if (r[j] > rbest) { rbest = r[j]; rb = j; }
+            }
+        }
+        l_num[i] = ln > 3 ? 3 : ln;
+        r_num[i] = rn > 3 ? 3 : rn;
+        l_base[i] = lb;
+        r_base[i] = rb;
+    }
+}
+
 // node -> iteration rank by ascending slot (the reference's hash-slot
 // scan order).  One O(size) dense pass in C replaces a 13M-key argsort
 // or a numpy random scatter into a 400MB table (~2.5 s each at E. coli
