@@ -58,3 +58,26 @@ def test_contig_stage_step_matches_host():
     np.testing.assert_array_equal(d_inter[live], dh[live])
     np.testing.assert_array_equal(c_inter[live], ch[live])
     assert live.sum() > 1000
+
+
+def test_native_succ_build_matches_xla_twin():
+    from dbg_assembly_tpu import native
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, 3000).astype(np.uint8)
+    starts = rng.integers(0, 3000 - 60, 400)
+    codes = np.stack([genome[s:s + 60] for s in starts]).astype(np.uint8)
+    lengths = np.full(400, 60, np.int32)
+    gb = GraphBuilder(17)
+    gb.add(codes, lengths)
+    t = gb.finalize()
+    g = pd._Graph(t, AssembleParams(ksize=17, init_hash_size=0.0001))
+    g.calc_links()
+    M = g.M
+    alive = (~g.deleted[:M]) & g.linear[:M]
+    succ_native = native.succ_build(g.kmers, g.l_base[:M], g.r_base[:M],
+                                    alive.astype(np.uint8), 17)
+    succ_xla, e, dist, cyc = (np.asarray(x) for x in pd._succ_resolve(
+        jnp.asarray(g.kmers), jnp.asarray(g.l_base[:M]),
+        jnp.asarray(g.r_base[:M]), jnp.asarray(alive), k=17))
+    np.testing.assert_array_equal(succ_native, succ_xla)
+    assert (succ_native < 2 * M).sum() > 500    # real chains exist
