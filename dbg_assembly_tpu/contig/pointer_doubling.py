@@ -906,6 +906,18 @@ def read_out_contigs(g: _Graph, prefix: str):
     byte-identical to the serial path's; only file ORDER can differ
     (length-sort ties).  Cycles and hairpin (self-reverse) chains fall
     back to the exact serial walker in slot order."""
+    import os as _os
+    import time as _time
+    _prof = _os.environ.get("DBG_PD_PROFILE")
+    _t0 = _time.perf_counter()
+
+    def _t(msg):
+        nonlocal _t0
+        if _prof:
+            print(f"    [ro] {msg:18s} {_time.perf_counter() - _t0:7.2f}s",
+                  flush=True)
+        _t0 = _time.perf_counter()
+
     p = g.p
     M = g.M
     k = g.k
@@ -926,7 +938,14 @@ def read_out_contigs(g: _Graph, prefix: str):
         # the native pass ~2s (PROFILE.md round 5)
         succ = native.succ_build(g.kmers, g.l_base[:M], g.r_base[:M],
                                  alive.astype(np.uint8), g.k)
-        e, dist, cyclic = g.resolve_chains(succ)
+        _t("succ_build")
+        # native O(n) chase-with-backfill twin of the XLA doubling
+        # program (identical outputs on non-cyclic states, flag-only on
+        # cyclic ones — test_contig_stage_step.py fuzzes the pair); the
+        # doubling program itself is what MeshGraph/contig_stage_step
+        # run sharded/on-device
+        e, dist, cyclic = native.resolve_chains_host(succ)
+        _t("resolve_chains")
     else:
         nf, ndir_a = g.next_ids(node, sdir, base)
         nxt_a = g.locate(nf)
@@ -961,6 +980,7 @@ def read_out_contigs(g: _Graph, prefix: str):
             fallback_nodes.add(int(node[s]))
             s = int(succ[s])
     head_states = head_states[(head_states <= mate) & ~hairpin]
+    _t("heads")
 
     recs = []   # (seq bytes, depth bytes, header str after id)
 
@@ -989,16 +1009,21 @@ def read_out_contigs(g: _Graph, prefix: str):
         body_deps = np.zeros(off[-1], np.int64)
         body_codes[off[cid] + pos] = rel
         body_deps[off[cid] + pos] = dep
+        _t("body scatters")
 
         # reference seed of each chain = the member node first in slot
         # order (read_out_contig scan order, contig.cpp:930): the k
         # average-depth bytes sit at the seed's k-mer position and the
         # output strand is the seed's canonical frame — reproducing both
         # makes every record byte-identical to the serial readout
-        order = np.lexsort((g.prio[node[st_ids]], cid))
-        _, gstart = np.unique(cid[order], return_index=True)
-        seed_state = st_ids[order[gstart]]             # [n_chains]
-        seed_pos = pos[order[gstart]]
+        # per-chain min-prio member (native one-pass segment argmin; the
+        # np.lexsort+np.unique form cost ~3s at 9.3M nodes).  prio is
+        # unique per node and each node appears once per chain, so the
+        # first-lowest-index tie rule matches the stable lexsort pick.
+        am = native.seg_argmin(cid, g.prio[node[st_ids]], n_chains)
+        seed_state = st_ids[am]                        # [n_chains]
+        seed_pos = pos[am]
+        _t("seed argmin")
 
         hrev = head_states ^ 1
         # left-boundary char/depth in chain orientation: rev(head) emits
@@ -1054,6 +1079,7 @@ def read_out_contigs(g: _Graph, prefix: str):
                       f"\tRightEndKmer: {rkm} {rmark}-{rrep}"
                       f"\t{ctype}\n")
             recs.append((seq, dbytes, header))
+        _t("chain loop")
 
     # ---- cycles + hairpins: exact serial walker in slot order
     if fallback_nodes:
@@ -1109,6 +1135,7 @@ def read_out_contigs(g: _Graph, prefix: str):
                 st.small_num += 1
                 st.small_len += len(seq)
             contig_id += 2
+    _t("write files")
     return st
 
 
@@ -1121,14 +1148,33 @@ def assemble_doubling(table: NodeTable, params: AssembleParams,
     """Full scalable assembly: links -> tips -> lowedges -> bubbles ->
     pointer-doubling readout (phase order per contig.cpp:54-102).  Emits
     the same artifact set as the byte-parity path."""
+    import os as _os
+    import time as _time
+    prof = _os.environ.get("DBG_PD_PROFILE")
+    t0 = _time.perf_counter()
+
+    def _t(msg):
+        nonlocal t0
+        if prof:
+            print(f"  [pd] {msg:18s} {_time.perf_counter() - t0:7.2f}s",
+                  flush=True)
+        t0 = _time.perf_counter()
+
     g = _Graph(table, params)
+    _t("graph init")
     g.calc_links()
+    _t("calc_links")
     g.write_kmer_freq(prefix + ".contig.kmer.freq")
+    _t("kmer.freq")
     if params.is_remove_tip:
         remove_tips(g, prefix + ".contig.tip.fa")
+        _t("tips")
     if params.is_remove_lowedge:
         remove_lowedges(g, prefix + ".contig.lowedge.fa")
+        _t("lowedges")
     if params.is_remove_bubble:
         remove_bubbles(g, prefix + ".contig.bubble.fa")
+        _t("bubbles")
     read_out_contigs(g, prefix)
+    _t("readout")
     return g.stats

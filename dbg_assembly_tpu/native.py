@@ -58,7 +58,11 @@ def _configure(_lib: ctypes.CDLL) -> None:
     _lib.hash_layout.restype = ctypes.c_int64
     _lib.hash_layout_disp.restype = ctypes.c_int64
     _lib.slot_rank.restype = None
+    _lib.seg_argmin.restype = None
     _lib.succ_build.restype = None
+    _lib.resolve_chains_host.restype = None
+    _lib.madv_huge.restype = None
+    _lib.madv_huge.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     _lib.links_pass.restype = None
     _lib.hash_layout_epochs.restype = ctypes.c_int64
     _lib.stdsort_perm_desc.restype = None
@@ -334,7 +338,9 @@ def succ_build(kmers: np.ndarray, l_base: np.ndarray, r_base: np.ndarray,
     lb = np.ascontiguousarray(l_base, np.int32)
     rb = np.ascontiguousarray(r_base, np.int32)
     al = np.ascontiguousarray(alive, np.uint8)
-    out = np.empty(2 * len(km), np.int64)
+    # huge-paged so resolve_chains_host's random succ[s] chases stay
+    # TLB-resident (first touch is succ_build's sequential write)
+    out = _huge_empty(2 * len(km), np.int64)
     lib().succ_build(
         km.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         ctypes.c_int64(len(km)),
@@ -342,6 +348,50 @@ def succ_build(kmers: np.ndarray, l_base: np.ndarray, r_base: np.ndarray,
         rb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         al.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int(k),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def _huge_empty(n: int, dtype) -> np.ndarray:
+    """np.empty marked MADV_HUGEPAGE before first touch: buffers the
+    native passes access at random (succ, e, dist) otherwise take a TLB
+    miss — which also drops the software prefetch — on nearly every
+    probe on this 4K-page host."""
+    a = np.empty(n, dtype)
+    lib().madv_huge(ctypes.c_void_p(a.ctypes.data), a.nbytes)
+    return a
+
+
+def resolve_chains_host(succ: np.ndarray):
+    """Chain resolution over the directed-state successor function — the
+    host twin of pointer_doubling._resolve_chains (same (end, dist,
+    cyclic) for every non-cyclic state; cyclic states carry only the
+    flag).  O(n) chase-from-sources with backfill vs the XLA program's
+    O(n log n) doubling gathers."""
+    sc = np.ascontiguousarray(succ, np.int64)
+    n = len(sc)
+    e = _huge_empty(n, np.int64)
+    dist = _huge_empty(n, np.int64)
+    cyc = _huge_empty(n, np.uint8)
+    lib().resolve_chains_host(
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        e.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cyc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return e, dist, cyc.astype(bool)
+
+
+def seg_argmin(cid: np.ndarray, key: np.ndarray, n_groups: int):
+    """Per-group argmin over (key, index) — native twin of
+    lexsort((key, cid)) + unique(cid)[1] first-in-group extraction."""
+    ci = np.ascontiguousarray(cid, np.int64)
+    ke = np.ascontiguousarray(key, np.int64)
+    out = np.empty(n_groups, np.int64)
+    lib().seg_argmin(
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ke.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(ci)), ctypes.c_int64(n_groups),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return out
 

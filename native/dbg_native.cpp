@@ -25,8 +25,39 @@
 #include <cstdint>
 #include <vector>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
+#include <ctime>
+
+#include <sys/mman.h>
+
+// mmap + MADV_HUGEPAGE allocation for the big random-access tables: this
+// host runs THP in madvise mode with 4K base pages, so a 0.5GB hash
+// table probed at random takes a TLB miss (which also DROPS the software
+// prefetch) on nearly every access; 2MB pages make it TLB-resident.
+static void* huge_alloc(size_t bytes) {
+    void* p = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) return nullptr;
+    madvise(p, bytes, MADV_HUGEPAGE);
+    return p;
+}
+
+static void huge_free(void* p, size_t bytes) {
+    if (p) munmap(p, bytes);
+}
 
 extern "C" {
+
+// Mark a caller-owned buffer for huge pages (effective when called
+// BEFORE first touch — fresh np.empty allocations fault hugepages in).
+void madv_huge(void* p, int64_t bytes) {
+    uintptr_t a = (uintptr_t)p;
+    uintptr_t lo = (a + 4095) & ~(uintptr_t)4095;
+    int64_t n = bytes - (int64_t)(lo - a);
+    if (n > 4096) madvise((void*)lo, (size_t)(n & ~(int64_t)4095),
+                          MADV_HUGEPAGE);
+}
 
 uint64_t jenkins64(uint64_t kmer) {
     kmer += ~(kmer << 32);
@@ -93,7 +124,15 @@ static inline uint64_t revcomp_k(uint64_t x, int k) {
 // read_out_contigs (state 2i = node i walking canonical-rightward,
 // 2i+1 leftward): next-kmer math + canonical flip + table lookup via a
 // jenkins open-addressing hash (the XLA searchsorted twin costs ~10s at
-// 13M nodes on this 2-core host; this pass runs in ~2s).
+// 13M nodes on this 2-core host).
+//
+// The table holds (key, id) pairs for ALIVE nodes only, at load <= 0.5:
+// a probe touches ONE 16-byte slot instead of three dependent cache
+// lines (id table -> kmers[cand] -> alive[cand]), a dead/absent
+// successor terminates on the first empty slot, and both the build and
+// probe loops run block-wise with software prefetch so the random slot
+// reads overlap (the DRAM-latency-bound form cost 12.7s at 9.3M nodes
+// on this host; this one ~3s).
 // kmers: sorted ascending (node id = position); alive: uint8.
 void succ_build(const uint64_t* kmers, int64_t M, const int32_t* l_base,
                 const int32_t* r_base, const uint8_t* alive, int k,
@@ -101,43 +140,163 @@ void succ_build(const uint64_t* kmers, int64_t M, const int32_t* l_base,
     const uint64_t kmask =
         (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
     const int head_shift = 2 * (k - 1);
-    uint64_t size = 1;
-    while (size < (uint64_t)M * 2) size <<= 1;
+    struct timespec tp0, tp1, tp2;
+    const bool prof = getenv("DBG_PD_PROFILE") != nullptr;
+    if (prof) clock_gettime(CLOCK_MONOTONIC, &tp0);
+    int64_t n_alive = 0;
+    for (int64_t i = 0; i < M; i++) n_alive += (alive[i] != 0);
+    uint64_t size = 16;
+    while (size < (uint64_t)n_alive * 2 + 2) size <<= 1;
     const uint64_t hm = size - 1;
-    std::vector<int64_t> table(size, -1);
-    for (int64_t i = 0; i < M; i++) {
-        uint64_t hc = jenkins64(kmers[i]) & hm;
-        while (table[hc] >= 0) hc = (hc + 1) & hm;
-        table[hc] = i;
-    }
-    const int64_t STOP = 2 * M;
-    for (int64_t i = 0; i < M; i++) {
-        if (!alive[i]) {
-            succ_out[2 * i] = STOP;
-            succ_out[2 * i + 1] = STOP;
-            continue;
-        }
-        uint64_t km = kmers[i];
-        for (int right = 1; right >= 0; right--) {
-            uint64_t b = (uint64_t)(right ? r_base[i] : l_base[i]);
-            uint64_t nk = right ? (((km << 2) | b) & kmask)
-                                : ((km >> 2) | (b << head_shift));
-            uint64_t rc = revcomp_k(nk, k);
-            bool flip = nk >= rc;
-            uint64_t nf = flip ? rc : nk;
-            int left_after = right ? (int)flip : (int)(!flip);
-            int64_t j = -1;
-            uint64_t hc = jenkins64(nf) & hm;
-            while (table[hc] >= 0) {
-                int64_t cand = table[hc];
-                if (kmers[cand] == nf) { j = cand; break; }
-                hc = (hc + 1) & hm;
+    struct Slot { uint64_t key; int64_t id; };
+    Slot* table = (Slot*)huge_alloc(size * sizeof(Slot));
+    for (uint64_t s = 0; s < size; s++) table[s].id = -1;
+    enum { B = 256 };
+    {
+        uint64_t hcs[B];
+        for (int64_t blk = 0; blk < M; blk += B) {
+            const int64_t hi = std::min<int64_t>(blk + B, M);
+            for (int64_t i = blk; i < hi; i++) {
+                hcs[i - blk] = jenkins64(kmers[i]) & hm;
+                __builtin_prefetch(&table[hcs[i - blk]], 1, 1);
             }
-            int64_t s = STOP;
-            if (j >= 0 && alive[j]) s = 2 * j + left_after;
-            succ_out[2 * i + (right ? 0 : 1)] = s;
+            for (int64_t i = blk; i < hi; i++) {
+                if (!alive[i]) continue;
+                uint64_t hc = hcs[i - blk];
+                while (table[hc].id >= 0) hc = (hc + 1) & hm;
+                table[hc].key = kmers[i];
+                table[hc].id = i;
+            }
         }
     }
+    if (prof) clock_gettime(CLOCK_MONOTONIC, &tp1);
+    const int64_t STOP = 2 * M;
+    uint64_t nfs[2 * B];
+    uint64_t hcs[2 * B];
+    int las[2 * B];
+    for (int64_t blk = 0; blk < M; blk += B) {
+        const int64_t hi = std::min<int64_t>(blk + B, M);
+        int m = 0;
+        for (int64_t i = blk; i < hi; i++) {
+            const uint64_t km = kmers[i];
+            for (int right = 1; right >= 0; right--, m++) {
+                const uint64_t b =
+                    (uint64_t)(right ? r_base[i] : l_base[i]);
+                const uint64_t nk =
+                    right ? (((km << 2) | b) & kmask)
+                          : ((km >> 2) | (b << head_shift));
+                const uint64_t rc = revcomp_k(nk, k);
+                const bool flip = nk >= rc;
+                nfs[m] = flip ? rc : nk;
+                las[m] = right ? (int)flip : (int)(!flip);
+                hcs[m] = jenkins64(nfs[m]) & hm;
+                __builtin_prefetch(&table[hcs[m]], 0, 1);
+            }
+        }
+        m = 0;
+        for (int64_t i = blk; i < hi; i++) {
+            for (int right = 1; right >= 0; right--, m++) {
+                int64_t s = STOP;
+                if (alive[i]) {
+                    uint64_t hc = hcs[m];
+                    while (table[hc].id >= 0) {
+                        if (table[hc].key == nfs[m]) {
+                            s = 2 * table[hc].id + las[m];
+                            break;
+                        }
+                        hc = (hc + 1) & hm;
+                    }
+                }
+                succ_out[2 * i + (right ? 0 : 1)] = s;
+            }
+        }
+    }
+    if (prof) {
+        clock_gettime(CLOCK_MONOTONIC, &tp2);
+        auto d = [](timespec a, timespec b) {
+            return (b.tv_sec - a.tv_sec) + 1e-9 * (b.tv_nsec - a.tv_nsec);
+        };
+        fprintf(stderr, "      [sb] build %.2fs probe %.2fs (size %lu)\n",
+                d(tp0, tp1), d(tp1, tp2), (unsigned long)size);
+    }
+    huge_free(table, size * sizeof(Slot));
+}
+
+// Per-group argmin: out[g] = index i of the smallest (key[i], i) among
+// cid[i] == g.  One sequential pass with the (tiny, cache-resident)
+// result array — replaces the readout's seed np.lexsort + np.unique
+// over all chain states (ties broken by lowest i, matching lexsort's
+// stable first-in-group pick).
+void seg_argmin(const int64_t* cid, const int64_t* key, int64_t n,
+                int64_t n_groups, int64_t* out) {
+    std::vector<int64_t> best(n_groups, INT64_MAX);
+    for (int64_t g = 0; g < n_groups; g++) out[g] = -1;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t g = cid[i];
+        if (g < 0 || g >= n_groups) continue;
+        if (key[i] < best[g]) { best[g] = key[i]; out[g] = i; }
+    }
+}
+
+// Host chain resolution over the directed-state successor function:
+// one O(n) pointer chase from every in-degree-0 source with path
+// backfill, producing the SAME (end, dist, cyclic) triple the XLA
+// pointer-doubling program (_resolve_chains) computes for every
+// non-cyclic state — end = last chain state, dist = states from s to
+// end inclusive.  States that never reach STOP (on or leading into a
+// cycle) get (e=s, dist=1, cyclic=1); the readout masks them out and
+// hands their nodes to the serial fallback walker, so only the flag
+// must match the XLA program.  Walks that join an already-resolved
+// chain backfill from its stored values, so merge shapes (in-degree>1)
+// stay O(n) total.  succ: [n] with STOP encoded as any value >= n.
+void resolve_chains_host(const int64_t* succ, int64_t n,
+                         int64_t* e, int64_t* dist, uint8_t* cyclic) {
+    for (int64_t s = 0; s < n; s++) { e[s] = -1; cyclic[s] = 0; }
+    uint8_t* has_pred = (uint8_t*)huge_alloc((size_t)n);
+    memset(has_pred, 0, (size_t)n);
+    for (int64_t s = 0; s < n; s++) {
+        const int64_t t = succ[s];
+        if (t >= 0 && t < n) has_pred[t] = 1;
+    }
+    std::vector<int64_t> path;
+    path.reserve(4096);
+    for (int64_t src = 0; src < n; src++) {
+        if (has_pred[src] || e[src] != -1) continue;
+        path.clear();
+        int64_t s = src;
+        int64_t tail_e = -1, tail_d = 0;
+        uint8_t tail_cyc = 0;
+        while (true) {
+            if (s < 0 || s >= n) break;           // STOP: end = path.back()
+            if (e[s] == -2) { tail_cyc = 1; break; }   // own path: cycle
+            if (e[s] != -1) {                     // joins a resolved chain
+                tail_e = e[s]; tail_d = dist[s]; tail_cyc = cyclic[s];
+                break;
+            }
+            e[s] = -2;
+            path.push_back(s);
+            s = succ[s];
+        }
+        const int64_t L = (int64_t)path.size();
+        if (tail_cyc) {
+            for (int64_t j = 0; j < L; j++) {
+                const int64_t p = path[j];
+                e[p] = p; dist[p] = 1; cyclic[p] = 1;
+            }
+        } else {
+            const int64_t end = (tail_e >= 0) ? tail_e : path[L - 1];
+            for (int64_t j = 0; j < L; j++) {
+                const int64_t p = path[j];
+                e[p] = end;
+                dist[p] = tail_d + (L - j);
+            }
+        }
+    }
+    // pure cycles (every member in-degree 1): unreached above
+    for (int64_t s = 0; s < n; s++) {
+        if (e[s] == -1) { e[s] = s; dist[s] = 1; cyclic[s] = 1; }
+    }
+    huge_free(has_pred, (size_t)n);
 }
 
 // One-pass link/topology computation (calculate_kmer_links bulk math):

@@ -81,3 +81,51 @@ def test_native_succ_build_matches_xla_twin():
         jnp.asarray(g.r_base[:M]), jnp.asarray(alive), k=17))
     np.testing.assert_array_equal(succ_native, succ_xla)
     assert (succ_native < 2 * M).sum() > 500    # real chains exist
+
+
+def test_native_resolve_chains_matches_xla():
+    """Fuzz resolve_chains_host against the XLA doubling program on
+    random functional graphs (chains, merges, cycles, rho shapes):
+    exact (e, dist) on non-cyclic states, cyclic flag everywhere."""
+    from dbg_assembly_tpu import native
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(3, 2000))
+        succ = rng.integers(0, n + 1, n).astype(np.int64)
+        # bias toward chain-like structure on even trials
+        if trial % 2 == 0:
+            perm = rng.permutation(n)
+            succ = np.where(rng.random(n) < 0.9,
+                            np.roll(perm, 1), succ).astype(np.int64)
+        en, dn, cn = native.resolve_chains_host(succ)
+        ex, dx, cx = (np.asarray(v) for v in
+                      pd._resolve_chains(jnp.asarray(succ)))
+        np.testing.assert_array_equal(cn, cx)
+        ok = ~cx
+        np.testing.assert_array_equal(en[ok], ex[ok])
+        np.testing.assert_array_equal(dn[ok], dx[ok])
+
+
+def test_native_resolve_chains_on_real_graph():
+    from dbg_assembly_tpu import native
+    rng = np.random.default_rng(9)
+    genome = rng.integers(0, 4, 3000).astype(np.uint8)
+    starts = rng.integers(0, 3000 - 60, 400)
+    codes = np.stack([genome[s:s + 60] for s in starts]).astype(np.uint8)
+    lengths = np.full(400, 60, np.int32)
+    gb = GraphBuilder(17)
+    gb.add(codes, lengths)
+    t = gb.finalize()
+    g = pd._Graph(t, AssembleParams(ksize=17, init_hash_size=0.0001))
+    g.calc_links()
+    M = g.M
+    alive = (~g.deleted[:M]) & g.linear[:M]
+    succ = native.succ_build(g.kmers, g.l_base[:M], g.r_base[:M],
+                             alive.astype(np.uint8), 17)
+    en, dn, cn = native.resolve_chains_host(succ)
+    ex, dx, cx = g.resolve_chains(succ)
+    np.testing.assert_array_equal(cn, cx)
+    ok = ~cx
+    np.testing.assert_array_equal(en[ok], ex[ok])
+    np.testing.assert_array_equal(dn[ok], dx[ok])
+    assert ok.sum() > 500
