@@ -308,7 +308,7 @@ def hash_layout(kmers_in_order: np.ndarray, size: int):
     """Slot assignment for keys inserted in the given order.
     Returns (slots int64 [n], conflicts)."""
     km = np.ascontiguousarray(kmers_in_order, dtype=np.uint64)
-    occ = np.zeros(size, dtype=np.uint8)
+    occ = _huge_zeros(size)        # random jenkins probes: see _huge_empty
     out = np.empty(len(km), dtype=np.int64)
     conflicts = lib().hash_layout(
         km.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -358,6 +358,14 @@ def _huge_empty(n: int, dtype) -> np.ndarray:
     miss — which also drops the software prefetch — on nearly every
     probe on this 4K-page host."""
     a = np.empty(n, dtype)
+    lib().madv_huge(ctypes.c_void_p(a.ctypes.data), a.nbytes)
+    return a
+
+
+def _huge_zeros(n: int) -> np.ndarray:
+    """np.zeros marked MADV_HUGEPAGE before first touch (np.zeros maps
+    untouched zero pages, so the mark applies to every later fault)."""
+    a = np.zeros(n, np.uint8)
     lib().madv_huge(ctypes.c_void_p(a.ctypes.data), a.nbytes)
     return a
 
@@ -423,7 +431,7 @@ def hash_layout_disp(kmers_in_order: np.ndarray, size: int):
     """hash_layout + per-node insert displacement (slot - home mod size).
     Returns (slots int64 [n], disp int64 [n], conflicts)."""
     km = np.ascontiguousarray(kmers_in_order, dtype=np.uint64)
-    occ = np.zeros(size, dtype=np.uint8)
+    occ = _huge_zeros(size)        # random jenkins probes: see _huge_empty
     out = np.empty(len(km), dtype=np.int64)
     disp = np.empty(len(km), dtype=np.int64)
     conflicts = lib().hash_layout_disp(
