@@ -988,8 +988,10 @@ def read_out_contigs(g: _Graph, prefix: str):
         n_chains = len(head_states)
         L_chain = dist[head_states]
         head_dir = sdir[head_states]
-        # chain id of every state via its end state
-        cid_of_end = np.full(n_states, -1, np.int64)
+        # chain id of every state via its end state (hugepaged: the
+        # e[st_ids] gather below probes it at random — PROFILE.md r5)
+        cid_of_end = native._huge_empty(n_states, np.int64)
+        cid_of_end.fill(-1)
         cid_of_end[e[head_states]] = np.arange(n_chains)
         st_ids = np.flatnonzero(is_state & ~cyclic)
         cid = cid_of_end[e[st_ids]]
@@ -1005,8 +1007,10 @@ def read_out_contigs(g: _Graph, prefix: str):
 
         off = np.zeros(n_chains + 1, np.int64)
         np.cumsum(L_chain, out=off[1:])
-        body_codes = np.zeros(off[-1], np.int64)
-        body_deps = np.zeros(off[-1], np.int64)
+        body_codes = native._huge_empty(off[-1], np.int64)
+        body_codes.fill(0)
+        body_deps = native._huge_empty(off[-1], np.int64)
+        body_deps.fill(0)
         body_codes[off[cid] + pos] = rel
         body_deps[off[cid] + pos] = dep
         _t("body scatters")

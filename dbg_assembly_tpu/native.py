@@ -319,9 +319,10 @@ def hash_layout(kmers_in_order: np.ndarray, size: int):
 
 
 def slot_rank(slot_of: np.ndarray, size: int) -> np.ndarray:
-    """node -> iteration rank by ascending slot (dense O(size) pass)."""
+    """node -> iteration rank by ascending slot (dense O(size) pass).
+    Output hugepaged: the readout's seed pass gathers it at random."""
     so = np.ascontiguousarray(slot_of, dtype=np.int64)
-    out = np.empty(len(so), dtype=np.int64)
+    out = _huge_empty(len(so), np.int64)
     lib().slot_rank(
         so.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(len(so)), ctypes.c_uint64(size),
