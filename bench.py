@@ -416,6 +416,14 @@ def main():
     }
     if "error" in ctg:
         stages["contig_error"] = ctg["error"]
+    elif ctg["contig_nodes_per_s"]:
+        # single-chip pointer doubling is gather-bound (~8.6 ns/elem
+        # fixed gather cost, PROFILE.md r5): the stage's value is mesh
+        # memory scaling + byte-identical distributed readout; the host
+        # path runs the production contig stage at reference-or-better
+        # wall (SCALE_VALIDATION.md)
+        stages["contig_note"] = "gather-bound; host/native path is the " \
+            "production contig engine (see PROFILE.md r5)"
     for key in ("waves", "fallback_rate", "error"):
         if key in corr:
             stages["correct_" + key] = corr[key]
