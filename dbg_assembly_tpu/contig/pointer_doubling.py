@@ -966,12 +966,14 @@ def read_out_contigs(g: _Graph, prefix: str):
         return int(g.locate(nf1)[0]), int(nd1[0])
 
     is_state = alive[node]
-    rev = np.arange(n_states, dtype=np.int64) ^ 1
-    heads = is_state & ~cyclic & (succ[rev] == STOP) & ~cyclic[rev]
-    head_states = np.flatnonzero(heads)
+    # one native scan instead of five full-width boolean temporaries:
+    # head = alive state, neither it nor its reverse cyclic, reverse has
+    # no successor; fallback = nodes of cyclic alive states
+    head_states, fb_arr = native.collect_heads(
+        alive.astype(np.uint8), succ, cyclic.astype(np.uint8))
     mate = e[head_states] ^ 1
     hairpin = mate == head_states
-    fallback_nodes = set(node[cyclic & is_state].tolist())
+    fallback_nodes = set(fb_arr.tolist())
     for h in head_states[hairpin]:
         st_h = int(h)
         # hairpin chain: collect its nodes for serial fallback

@@ -59,6 +59,7 @@ def _configure(_lib: ctypes.CDLL) -> None:
     _lib.hash_layout_disp.restype = ctypes.c_int64
     _lib.slot_rank.restype = None
     _lib.seg_argmin.restype = None
+    _lib.collect_heads.restype = ctypes.c_int64
     _lib.succ_build.restype = None
     _lib.resolve_chains_host.restype = None
     _lib.madv_huge.restype = None
@@ -389,6 +390,29 @@ def resolve_chains_host(succ: np.ndarray):
         dist.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         cyc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return e, dist, cyc.astype(bool)
+
+
+def collect_heads(alive: np.ndarray, succ: np.ndarray,
+                  cyclic: np.ndarray):
+    """One-pass chain-head + cyclic-fallback-node collection (native twin
+    of the readout's five full-width boolean temporaries).  Returns
+    (head_states int64[nh], fallback_nodes int64[nf])."""
+    al = np.ascontiguousarray(alive, np.uint8)
+    sc = np.ascontiguousarray(succ, np.int64)
+    cy = np.ascontiguousarray(cyclic, np.uint8)
+    n = len(sc)
+    heads = np.empty(n, np.int64)          # virtual until touched
+    fb = np.empty(n // 2 + 1, np.int64)
+    fbc = ctypes.c_int64(0)
+    nh = lib().collect_heads(
+        al.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cy.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n),
+        heads.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        fb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.byref(fbc))
+    return heads[:nh].copy(), fb[:fbc.value].copy()
 
 
 def seg_argmin(cid: np.ndarray, key: np.ndarray, n_groups: int):

@@ -222,6 +222,31 @@ void succ_build(const uint64_t* kmers, int64_t M, const int32_t* l_base,
     huge_free(table, size * sizeof(Slot));
 }
 
+// One-pass head/fallback collection for the doubling readout: state s
+// (s>>1 = node, interleaved directions) is a chain head iff its node is
+// alive, neither s nor its reverse state s^1 is cyclic, and s^1 has no
+// successor (succ[s^1] >= n).  Also collects the nodes of cyclic alive
+// states (serial-fallback set).  Replaces five full-width numpy
+// temporaries with a single scan.  Returns the head count; fb_count
+// receives the fallback-node count.
+int64_t collect_heads(const uint8_t* alive, const int64_t* succ,
+                      const uint8_t* cyclic, int64_t n,
+                      int64_t* heads_out, int64_t* fb_nodes_out,
+                      int64_t* fb_count) {
+    int64_t nh = 0, nf = 0;
+    for (int64_t s = 0; s < n; s++) {
+        if (!alive[s >> 1]) continue;
+        if (cyclic[s]) {
+            if (!(s & 1)) fb_nodes_out[nf++] = s >> 1;
+            else if (!cyclic[s ^ 1]) fb_nodes_out[nf++] = s >> 1;
+            continue;
+        }
+        if (!cyclic[s ^ 1] && succ[s ^ 1] >= n) heads_out[nh++] = s;
+    }
+    *fb_count = nf;
+    return nh;
+}
+
 // Per-group argmin: out[g] = index i of the smallest (key[i], i) among
 // cid[i] == g.  One sequential pass with the (tiny, cache-resident)
 // result array — replaces the readout's seed np.lexsort + np.unique

@@ -129,3 +129,24 @@ def test_native_resolve_chains_on_real_graph():
     np.testing.assert_array_equal(en[ok], ex[ok])
     np.testing.assert_array_equal(dn[ok], dx[ok])
     assert ok.sum() > 500
+
+
+def test_native_collect_heads_matches_numpy():
+    from dbg_assembly_tpu import native
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        M = int(rng.integers(4, 800))
+        n = 2 * M
+        alive = rng.random(M) < 0.8
+        succ = rng.integers(0, n + 1, n).astype(np.int64)
+        node = np.repeat(np.arange(M, dtype=np.int64), 2)
+        succ[~alive[node]] = n
+        _, _, cyc = native.resolve_chains_host(succ)
+        hn, fbn = native.collect_heads(alive.astype(np.uint8), succ,
+                                       cyc.astype(np.uint8))
+        is_state = alive[node]
+        rev = np.arange(n, dtype=np.int64) ^ 1
+        heads = is_state & ~cyc & (succ[rev] >= n) & ~cyc[rev]
+        np.testing.assert_array_equal(hn, np.flatnonzero(heads))
+        assert set(fbn.tolist()) == set(node[cyc & is_state].tolist())
+        assert len(set(fbn.tolist())) == len(fbn)
